@@ -1,0 +1,295 @@
+package graft.merge
+
+import graft.model.{Ops, SchemaEvolution, Schemas}
+import graft.table.{FileEntry, LakeTable, Manifest}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import java.util.UUID
+
+/** Result of applying one micro-batch. */
+final case class MergeResult(
+    snapshotId: String,
+    version: Long,
+    lineage: Seq[graft.model.LineageRow],
+    skipped: Boolean)
+
+/** Tuning knobs for the MERGE kernel.
+  *
+  * @param numBuckets   key-partition count of the table (fixed at creation).
+  *                     At 100 TB this is the unit of rewrite amplification:
+  *                     more buckets => smaller rewrites per touched key,
+  *                     more files. Size so one bucket's rewrite fits an
+  *                     executor's shuffle memory.
+  * @param saltFactor   >0 enables the two-stage skew-proof dedupe: stage 1
+  *                     pre-reduces each (doc_id, salt) group with a partial-
+  *                     aggregable max-by (map-side combine absorbs hot keys),
+  *                     stage 2 runs the final row_number window over at most
+  *                     `saltFactor` rows per key. 0/1 = plain window.
+  * @param broadcastThreshold  deduped-change row count below which the
+  *                     changes side of the MERGE join is broadcast (no
+  *                     shuffle of the rewritten target buckets).
+  */
+final case class MergeConfig(
+    numBuckets: Int = 32,
+    saltFactor: Int = 16,
+    broadcastThreshold: Long = 2000000L)
+
+/** The MERGE INTO kernel: apply one micro-batch of change events to a
+  * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
+  * bucket-pruned rewrite, delete tombstones, per-partition lineage, and an
+  * idempotent CAS commit.
+  *
+  * Spark-first re-expression of the reference's match-or-create upsert
+  * (`PontusIdGenerator.java:266-381`: scan keyed store -> 1 match = update,
+  * 0 = insert; commit/rollback at :361-378) and its bulk micro-batch client
+  * (`PontusTinkerPopClientRecordBulk.java:91-126`: one upsert query per
+  * drained batch): the whole micro-batch becomes ONE set-oriented
+  * full-outer equi-join on the merge key, touching only the buckets the
+  * batch's keys hash to, instead of a per-record RPC.
+  *
+  * Deletes write tombstone rows (`_tombstone = true`, lsn = delete LSN) so
+  * that an out-of-order *older* event arriving in a later batch cannot
+  * resurrect a deleted key, while a genuinely newer upsert can.
+  */
+object MergeInto {
+
+  val TOMBSTONE: String = LakeTable.TOMBSTONE
+
+  private def storedSchema(logical: StructType): StructType =
+    LakeTable.storedSchema(logical)
+
+  /** Dedupe a batch to one winning event per doc_id (last-writer-wins by
+    * highest lsn). The final stage is the north-rule shape:
+    * `row_number() over (partition by doc_id order by lsn desc) = 1`.
+    * With `saltFactor > 1` a salted pre-reduction runs first so a hot key
+    * (Zipf head) never concentrates a full window partition on one task:
+    * stage 1 groups by (doc_id, xxhash64(lsn) % S) and keeps the max-by-lsn
+    * row via a partial-aggregable struct max (map-side combine), leaving
+    * <= S rows per key for the final window.
+    */
+  def dedupeLatest(batch: DataFrame, saltFactor: Int): DataFrame = {
+    val cols = batch.columns.toIndexedSeq
+    val pre =
+      if (saltFactor <= 1) batch
+      else {
+        val payload = struct((col("lsn") +: cols.filterNot(_ == "lsn").map(col)): _*)
+        batch
+          .groupBy(col("doc_id"), pmod(xxhash64(col("lsn")), lit(saltFactor.toLong)).as("_salt"))
+          .agg(max(payload).as("_w"))
+          .select(cols.map(c => col(s"_w.$c").as(c)): _*)
+      }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lsn").desc)
+    pre.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Structural type equality ignoring nullability/containsNull flags. */
+  def sameTypeIgnoreNull(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ea, _), ArrayType(eb, _)) => sameTypeIgnoreNull(ea, eb)
+    case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+      sameTypeIgnoreNull(ka, kb) && sameTypeIgnoreNull(va, vb)
+    case (StructType(fa), StructType(fb)) =>
+      fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+        x.name == y.name && sameTypeIgnoreNull(x.dataType, y.dataType)
+      }
+    case _ => a == b
+  }
+
+  /** Align `df` to `target` schema: add missing columns as nulls, cast
+    * widened columns, order columns. Columns differing only in nullability
+    * are passed through uncast.
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.toIndexedSeq.map { f =>
+      have.get(f.name) match {
+        case Some(dt) if sameTypeIgnoreNull(dt, f.dataType) => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Apply one micro-batch to `table`. Idempotent per (checkpointId,
+    * batchId): if the ledger already records this batch, the call is a
+    * no-op returning the committed snapshot.
+    */
+  def apply(
+      spark: SparkSession,
+      table: LakeTable,
+      batch: DataFrame,
+      checkpointId: String,
+      batchId: Long,
+      cfg: MergeConfig = MergeConfig()): MergeResult = {
+
+    val current = table.currentManifestOpt()
+
+    // -- 0. idempotence: replayed batch => no-op ------------------------
+    val ledgerKey = s"$checkpointId/$batchId"
+    current.flatMap(_.ledger.get(ledgerKey)) match {
+      case Some(snap) =>
+        return MergeResult(snap, current.get.version, Nil, skipped = true)
+      case None => ()
+    }
+
+    val numBuckets = current.map(_.numBuckets).getOrElse(cfg.numBuckets)
+
+    // -- 1. schema evolution -------------------------------------------
+    // Logical table columns = seq-table shape + any extra change columns
+    // seen so far (ADD COLUMN), types widened per the lattice. `op` stays
+    // feed-only.
+    val tableSchema = current.map(_.schema).getOrElse(Schemas.seqTable)
+    val incomingAsTable = StructType(
+      batch.schema.fields.filterNot(_.name == "op").toIndexedSeq)
+    val evolved = SchemaEvolution.evolve(tableSchema, incomingAsTable)
+
+    // -- 2. dedupe to one winner per key, salted against skew -----------
+    val bucketOf: Column => Column =
+      k => pmod(xxhash64(k), lit(numBuckets.toLong)).cast("int")
+    val deduped = dedupeLatest(batch, cfg.saltFactor)
+      .withColumn("_bucket", bucketOf(col("doc_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // -- 3. batch stats: touched buckets + dedupe-dropped counts ------
+      // (two tiny aggregate jobs; results are <= numBuckets rows)
+      val rawPerBucket = batch.groupBy(bucketOf(col("doc_id")).as("_bucket"))
+        .agg(count(lit(1)).as("n_raw"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val dedupStats = deduped.groupBy(col("_bucket"))
+        .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val touched: Set[Int] = dedupStats.keySet
+
+      if (touched.isEmpty) {
+        // empty batch: still record the ledger entry (exactly-once bookkeeping)
+        return commitManifest(table, current, evolved, numBuckets,
+          current.map(_.files).getOrElse(Nil), ledgerKey, Nil)
+      }
+
+      val dedupedRows = dedupStats.valuesIterator.map(_._1).sum
+
+      // -- 4. read ONLY the touched buckets of the target ---------------
+      // (manifest file pruning: untouched buckets are carried over as-is,
+      // no I/O — the analog of the reference pushing its filter into the
+      // keyed store, `PontusIdGenerator.java:299`)
+      val existingFiles = current.map(_.files).getOrElse(Seq.empty[FileEntry])
+      val (touchedFiles, keptFiles) = existingFiles.partition(f => touched.contains(f.bucket))
+      val storedOld = storedSchema(tableSchema)
+      val targetRaw =
+        if (touchedFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema(evolved))
+        else
+          spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*)
+      val target = alignTo(targetRaw, storedSchema(evolved))
+
+      // -- 5. full-outer MERGE join on the key --------------------------
+      val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq
+      val ch = alignTo(
+        deduped.withColumn("_has_change", lit(true)),
+        StructType(evolved.fields.toIndexedSeq :+ StructField("op", StringType) :+
+          StructField("_has_change", BooleanType)))
+      val tg = target.withColumn("_has_target", lit(true))
+      val chSide = if (dedupedRows <= cfg.broadcastThreshold) broadcast(ch) else ch
+      val joined = tg.as("t")
+        .join(chSide.as("c"), col("t.doc_id") === col("c.doc_id"), "full_outer")
+
+      val hasT = coalesce(col("t._has_target"), lit(false))
+      val hasC = coalesce(col("c._has_change"), lit(false))
+      // change wins iff present and as-new-as the stored row (replay-safe >=)
+      val changeWins = hasC && (!hasT || col("c.lsn") >= col("t.lsn"))
+      val isDelete = col("c.op") === Ops.Delete
+      val wasTombstone = hasT && col(s"t.$TOMBSTONE")
+
+      val status = when(!hasC, lit("keep"))
+        .when(!changeWins, lit("stale"))
+        .when(isDelete && hasT && !wasTombstone, lit("delete"))
+        .when(isDelete, lit("delete_noop"))
+        .when(hasT && !wasTombstone, lit("update"))
+        .otherwise(lit("insert"))
+
+      val outCols: IndexedSeq[Column] =
+        coalesce(col("t.doc_id"), col("c.doc_id")).as("doc_id") +:
+          dataCols.map(c =>
+            when(changeWins, col(s"c.$c")).otherwise(col(s"t.$c")).as(c)) :+
+          when(changeWins, isDelete)
+            .otherwise(coalesce(col(s"t.$TOMBSTONE"), lit(false))).as(TOMBSTONE) :+
+          status.as("_status")
+
+      val merged = joined.select(outCols: _*)
+        .withColumn("_bucket", bucketOf(col("doc_id")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      try {
+        // -- 6. per-bucket merge counters (lineage), one pass -----------
+        val statusCounts = merged.groupBy(col("_bucket"), col("_status")).count()
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+        def cnt(b: Int, s: String): Long = statusCounts.getOrElse((b, s), 0L)
+
+        // -- 7. write rewritten buckets + commit CAS --------------------
+        val nextVersion = current.map(_.version + 1).getOrElse(0L)
+        val staging = table.stagingDir(nextVersion)
+        val toWrite = merged.drop("_status")
+        toWrite
+          .repartition(touched.size.max(1), col("_bucket"))
+          .sortWithinPartitions(col("_bucket"), col("doc_id"))
+          .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
+
+        val outStats = toWrite.groupBy(col("_bucket"))
+          .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val newFiles = table.enumerateStaged(staging, outStats)
+
+        val snapshotId = UUID.randomUUID().toString
+        val lineage = touched.toSeq.sorted.map { b =>
+          val (_, minL, maxL) = dedupStats(b)
+          graft.model.LineageRow(
+            batch_id = batchId,
+            partition = b,
+            min_lsn = minL,
+            max_lsn = maxL,
+            n_insert = cnt(b, "insert"),
+            n_update = cnt(b, "update"),
+            n_delete = cnt(b, "delete") + cnt(b, "delete_noop"),
+            n_dedup_dropped = rawPerBucket.getOrElse(b, 0L) - dedupStats(b)._1,
+            snapshot_id = snapshotId)
+        }
+
+        commitManifest(table, current, evolved, numBuckets,
+          keptFiles ++ newFiles, ledgerKey, lineage, snapshotId, nextVersion)
+      } finally merged.unpersist()
+    } finally deduped.unpersist()
+  }
+
+  private def commitManifest(
+      table: LakeTable,
+      current: Option[Manifest],
+      schema: StructType,
+      numBuckets: Int,
+      files: Seq[FileEntry],
+      ledgerKey: String,
+      lineage: Seq[graft.model.LineageRow],
+      snapshotId: String = UUID.randomUUID().toString,
+      versionOverride: Long = -1L): MergeResult = {
+    val version =
+      if (versionOverride >= 0) versionOverride
+      else current.map(_.version + 1).getOrElse(0L)
+    val m = Manifest(
+      version = version,
+      snapshotId = snapshotId,
+      parentSnapshotId = current.map(_.snapshotId),
+      schemaJson = schema.json,
+      numBuckets = numBuckets,
+      files = files,
+      ledger = current.map(_.ledger).getOrElse(Map.empty) + (ledgerKey -> snapshotId))
+    table.commit(m)
+    MergeResult(snapshotId, version, lineage, skipped = false)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** One immutable data file registered in a snapshot manifest.
+  * `bucket` is the key-partition it belongs to (bucket = pmod(xxhash64(doc_id), numBuckets));
+  * `minLsn`/`maxLsn`/`rows` are file-level stats used for scan pruning —
+  * the Spark-native analog of the reference pushing its filter into the
+  * keyed store instead of scanning client-side
+  * (reference `PontusIdGenerator.java:68-76,299`).
+  */
+final case class FileEntry(
+    path: String,
+    bucket: Int,
+    rows: Long,
+    minLsn: Long,
+    maxLsn: Long)
+
+/** A snapshot of the table: full file listing + schema + commit ledger.
+  *
+  * `ledger` maps "checkpointId/batchId" -> snapshotId and makes commits
+  * idempotent under streaming replay: re-running a batch that already
+  * committed is a no-op (the exactly-once upgrade of the reference's
+  * at-least-once commit/rollback, `PontusIdGenerator.java:361-378`,
+  * modeled on the version-checked ZK update in
+  * `JWTStoreClientProcessor.java:165-168`).
+  */
+final case class Manifest(
+    version: Long,
+    snapshotId: String,
+    parentSnapshotId: Option[String],
+    schemaJson: String,
+    numBuckets: Int,
+    files: Seq[FileEntry],
+    ledger: Map[String, String]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Thrown when a CAS commit loses the race (another writer committed the
+  * same version first). Callers re-read and retry.
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Minimal Iceberg-style table: immutable Parquet data files + JSON
+  * manifest per snapshot + atomic compare-and-swap commit.
+  *
+  * Layout under `root`:
+  * {{{
+  *   meta/v%020d.json     one manifest per snapshot; highest version = current
+  *   data/s<version>/...  data files staged per committing snapshot
+  * }}}
+  *
+  * The CAS is a rename: manifests are written to a temp name then renamed to
+  * `v%020d.json`; Hadoop `FileSystem.rename` fails when the destination
+  * exists (local FS and HDFS), so exactly one writer wins each version.
+  * Works identically on a 1000-executor cluster over HDFS/S3A-with-rename
+  * semantics and on local[N].
+  */
+final class LakeTable private (val root: String, val conf: Configuration) {
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val rootPath = new Path(root)
+  private val metaDir = new Path(rootPath, "meta")
+  private def fs: FileSystem = rootPath.getFileSystem(conf)
+
+  private def manifestPath(version: Long): Path =
+    new Path(metaDir, f"v$version%020d.json")
+
+  // ---- snapshot log ----------------------------------------------------
+
+  /** Highest committed version, or -1 if the table has no snapshot yet. */
+  def currentVersion(): Long = {
+    val f = fs
+    if (!f.exists(metaDir)) return -1L
+    val vs = f.listStatus(metaDir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  def currentManifest(): Manifest = {
+    val v = currentVersion()
+    require(v >= 0, s"table at $root has no committed snapshot")
+    readManifest(v)
+  }
+
+  def currentManifestOpt(): Option[Manifest] = {
+    val v = currentVersion()
+    if (v < 0) None else Some(readManifest(v))
+  }
+
+  def readManifest(version: Long): Manifest = {
+    val in = fs.open(manifestPath(version))
+    try {
+      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+      Serialization.read[Manifest](new String(bytes, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Atomic CAS commit of `m` at `m.version`. Exactly one concurrent caller
+    * can commit a given version; losers get [[CommitConflictException]].
+    */
+  def commit(m: Manifest): Unit = {
+    val f = fs
+    f.mkdirs(metaDir)
+    val target = manifestPath(m.version)
+    if (f.exists(target))
+      throw new CommitConflictException(s"version ${m.version} already committed")
+    val tmp = new Path(metaDir, s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-if-absent is the CAS: fails (returns false) when target exists
+    val won = f.rename(tmp, target)
+    if (!won) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(
+        s"lost CAS race committing version ${m.version}")
+    }
+  }
+
+  /** Already-committed snapshot for this (checkpointId, batchId), if any —
+    * the idempotence lookup done at the top of every foreachBatch.
+    */
+  def committedSnapshot(checkpointId: String, batchId: Long): Option[String] =
+    currentManifestOpt().flatMap(_.ledger.get(s"$checkpointId/$batchId"))
+
+  // ---- data files ------------------------------------------------------
+
+  /** Directory where a committing snapshot stages its data files. Files are
+    * immutable once the manifest referencing them is committed; a lost CAS
+    * race leaves orphans that a vacuum can collect (never referenced).
+    */
+  def stagingDir(version: Long): String =
+    new Path(new Path(rootPath, "data"), s"s$version").toString
+
+  /** List the parquet files Spark wrote under `dir/_bucket=N/`, with
+    * per-bucket stats attached to each file.
+    */
+  def enumerateStaged(dir: String, stats: Map[Int, (Long, Long, Long)]): Seq[FileEntry] = {
+    val f = fs
+    val d = new Path(dir)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+      .flatMap { bdir =>
+        val bucket = bdir.getPath.getName.stripPrefix("_bucket=").toInt
+        val (rows, minL, maxL) = stats.getOrElse(bucket, (0L, Long.MaxValue, Long.MinValue))
+        f.listStatus(bdir.getPath).toIndexedSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => FileEntry(s.getPath.toString, bucket, rows, minL, maxL))
+      }
+  }
+
+  // ---- read path -------------------------------------------------------
+
+  /** Read the current table state (live rows only — delete tombstones are
+    * filtered out and the tombstone flag dropped). `buckets`, when given,
+    * prunes the scan to those key-partitions (manifest-stat file pruning —
+    * no Spark task touches the untouched buckets). Old files missing
+    * newly-ADDed columns null-fill because the read is schema-first; files
+    * written before an int->long widening read back widened (Parquet type
+    * promotion, Spark 4).
+    */
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val df = readStored(spark, buckets)
+    df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+  }
+
+  /** Read the physical table state including tombstone rows. */
+  def readStored(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    currentManifestOpt() match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          LakeTable.storedSchema(graft.model.Schemas.seqTable))
+      case Some(m) =>
+        val stored = LakeTable.storedSchema(m.schema)
+        val files = buckets match {
+          case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
+          case None => m.files
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+        else
+          spark.read.schema(stored).parquet(files.map(_.path): _*)
+    }
+  }
+
+  /** Files of the current snapshot whose LSN range intersects [lo, hi] —
+    * min/max-stat pruning for time-travel style scans.
+    */
+  def filesInLsnRange(lo: Long, hi: Long): Seq[FileEntry] =
+    currentManifestOpt().map(_.files.filter(f => f.maxLsn >= lo && f.minLsn <= hi))
+      .getOrElse(Nil)
+}
+
+object LakeTable {
+  /** System column marking delete tombstones in stored files. Tombstones
+    * keep the delete's LSN so an out-of-order older event in a later batch
+    * cannot resurrect a deleted key.
+    */
+  val TOMBSTONE = "_tombstone"
+
+  /** Physical (stored) schema = logical schema + tombstone flag. */
+  def storedSchema(logical: StructType): StructType =
+    StructType(logical.fields.toIndexedSeq :+
+      org.apache.spark.sql.types.StructField(TOMBSTONE,
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+
+  def apply(root: String, conf: Configuration = new Configuration()): LakeTable =
+    new LakeTable(root, conf)
+
+  /** Bucket assignment expression: stable hash-partitioning of the merge key.
+    * xxhash64 is deterministic across Spark versions/executors.
+    */
+  def bucketExpr(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int")
+}
