@@ -36,7 +36,8 @@ final case class MergeResult(
 final case class MergeConfig(
     numBuckets: Int = 32,
     saltFactor: Int = 16,
-    broadcastThreshold: Long = 2000000L)
+    broadcastThreshold: Long = 2000000L,
+    lineageDir: Option[String] = None)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -260,6 +261,16 @@ object MergeInto {
             n_delete = cnt(b, "delete") + cnt(b, "delete_noop"),
             n_dedup_dropped = rawPerBucket.getOrElse(b, 0L) - dedupStats(b)._1,
             snapshot_id = snapshotId)
+        }
+
+        // lineage parquet lands BEFORE the manifest CAS, at a deterministic
+        // per-batch path with overwrite: a crash on either side of the
+        // commit replays to the identical bytes (exactly-once metrics)
+        cfg.lineageDir.foreach { dir =>
+          import spark.implicits._
+          spark.createDataset(lineage).coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
         }
 
         commitManifest(table, current, evolved, numBuckets,

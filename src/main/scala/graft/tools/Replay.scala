@@ -2,18 +2,21 @@ package graft.tools
 
 import graft.changegen.{ChangeGen, FeedConfig}
 import graft.merge.{MergeConfig, MergeInto}
+import graft.stream.{CdcStream, StreamConfig}
 import graft.table.LakeTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** CLI driver: generate a deterministic change feed, replay it segment by
-  * segment through the MERGE kernel into a LakeTable, print lineage and
-  * final-state summary. The operational entry point for demos and manual
-  * runs:
+/** CLI driver: generate a deterministic change feed, replay it through the
+  * MERGE kernel into a LakeTable, print lineage and final-state summary.
+  * The operational entry point for demos and manual runs:
   *
   * {{{
-  *   sbt "runMain graft.tools.Replay <workDir> [numEvents] [numKeys] [zipf]"
+  *   sbt "runMain graft.tools.Replay <workDir> [numEvents] [numKeys] [zipf] [mode]"
   * }}}
+  *
+  * mode = `batch` (default; explicit per-segment MERGE calls) or `stream`
+  * (Structured Streaming tail with checkpoint, Trigger.AvailableNow).
   */
 object Replay {
   def main(args: Array[String]): Unit = {
@@ -22,6 +25,7 @@ object Replay {
     val numEvents = args.lift(1).map(_.toLong).getOrElse(100000L)
     val numKeys = args.lift(2).map(_.toInt).getOrElse(5000)
     val zipf = args.lift(3).map(_.toDouble).getOrElse(0.0)
+    val mode = args.lift(4).getOrElse("batch")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val spark = SparkSession.builder()
@@ -43,9 +47,20 @@ object Replay {
     val phaseDirs = ChangeGen.writeFeed(spark, feedDir, cfg)
 
     val table = LakeTable(tableDir)
-    val mergeCfg = MergeConfig(numBuckets = 16)
+    val mergeCfg = MergeConfig(numBuckets = 16, lineageDir = Some(s"$workDir/lineage"))
     var applied = 0L
-    phaseDirs.foreach { phaseDir =>
+    if (mode == "stream") phaseDirs.zipWithIndex.foreach { case (phaseDir, i) =>
+      CdcStream.runToCompletion(spark, StreamConfig(
+        feedDir = phaseDir, tableDir = tableDir,
+        checkpointDir = s"$workDir/checkpoint-$i", checkpointId = s"cdc-$i",
+        maxFilesPerTrigger = 2, merge = mergeCfg),
+        (id, res) => println(f"[replay] stream batch=$id%3d -> " +
+          f"snapshot=${res.snapshotId.take(8)} v${res.version} " +
+          f"insert=${res.lineage.map(_.n_insert).sum} " +
+          f"update=${res.lineage.map(_.n_update).sum} " +
+          f"delete=${res.lineage.map(_.n_delete).sum} skipped=${res.skipped}"))
+    }
+    else phaseDirs.foreach { phaseDir =>
       // `seg` comes back type-inferred from the partition directory name
       val segs = spark.read.parquet(phaseDir).select("seg").distinct()
         .collect().map(_.get(0).toString.toLong).sorted
