@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** Scalar-function surface of the engine: the Spark-first re-expression of
+  * the reference's per-record transforms. Everything here is built from
+  * `org.apache.spark.sql.functions._` (whole-stage-codegen'd) except the
+  * keyed HMAC and SimHash, which are deterministic Scala UDFs (documented
+  * tradeoff; a custom Catalyst Expression is the upgrade path if profiling
+  * shows UDF overhead on a hot path).
+  */
+object Fns {
+
+  // ---- template expansion (reference StringReplacer.java:26-572) -------
+
+  /** Expand `~~{name}~~` tokens in a template with column values at plan
+    * build time — the reference's iterative runtime token loop
+    * (`StringReplacer.java:343-395`) collapses into a fold over `Column`s
+    * that Catalyst constant-folds around.
+    */
+  def templateExpand(template: String, bindings: Map[String, Column]): Column = {
+    val re = "~~\\{([a-zA-Z0-9_]+)\\}~~".r
+    val parts = re.split(template)
+    val tokens = re.findAllMatchIn(template).map(_.group(1)).toSeq
+    val pieces = new scala.collection.mutable.ArrayBuffer[Column]
+    (0 until math.max(parts.length, tokens.length)).foreach { i =>
+      if (i < parts.length && parts(i).nonEmpty) pieces += lit(parts(i))
+      if (i < tokens.length)
+        pieces += coalesce(bindings.getOrElse(tokens(i),
+          lit(s"~~{${tokens(i)}}~~")).cast("string"), lit(""))
+    }
+    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+  }
+
+  // ---- record serialization (reference CSVToJSONProcessor.java:30-256) --
+
+  /** One CSV-ish record -> JSON object of all columns (the C12 conversion,
+    * set-oriented: `to_json(struct(*))`).
+    */
+  def recordToJson(df: DataFrame): Column =
+    to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+
+  /** Header normalization (reference CleanCSVHeader.java:130-157): column
+    * renames applied at the source, not by stream rewriting.
+    */
+  def cleanHeaders(df: DataFrame, find: String, replace: String): DataFrame =
+    df.toDF(df.columns.map(_.replaceAll(find, replace)).toIndexedSeq: _*)
+
+  // ---- keyed HMAC (reference SecurityHashProcessor.java:107-140) --------
+
+  /** HmacSHA256 of a column under a fixed key, Base64-encoded — the PII
+    * tokenization primitive. Deterministic; the key ships in the closure
+    * (in production it would come from a secret store on the executor).
+    */
+  def hmacSha256(key: String): Column => Column = {
+    val u = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val mac = Mac.getInstance("HmacSHA256")
+        mac.init(new SecretKeySpec(key.getBytes("UTF-8"), "HmacSHA256"))
+        java.util.Base64.getEncoder.encodeToString(mac.doFinal(s.getBytes("UTF-8")))
+      }
+    }
+    c => u(c)
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Whitespace tokenization (normalized). */
+  def words(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  /** Token count over whitespace tokenization. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))
+
+  /** BPE-ish subword count: words plus punctuation splits — a cheap proxy
+    * for tokenizer cost estimation at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "[\\s\\p{Punct}]+"))
+
+  /** Language-specific stopword hit count (n-gram/stopword heuristic). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(words(lower(text)), w => w.isInCollection(stopwords)))
+
+  /** Tiny language-ID: argmax of per-language stopword hit ratios. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"))
+
+  /** Argmax over stopword hits with a fixed precedence order (en, de, es,
+    * fr) on ties — deterministic and expressible identically in plain SQL.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, langStopwords("en"))
+    val de = stopwordHits(text, langStopwords("de"))
+    val es = stopwordHits(text, langStopwords("es"))
+    val fr = stopwordHits(text, langStopwords("fr"))
+    when(en === 0 && de === 0 && es === 0 && fr === 0, lit("unknown"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** 4-decimal truncation: floor(x*10000)/10000. Unlike `round`, identical
+    * bit-for-bit across engines (no half-rounding mode ambiguity).
+    */
+  def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, mean word
+    * length — the heuristics a pretraining pipeline gates documents on.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val w = tokenCount(text).cast("double")
+    Seq(
+      "n_chars" -> length(text),
+      "n_words" -> tokenCount(text),
+      "alpha_ratio" -> trunc4(alpha / greatest(n, lit(1.0))),
+      "punct_ratio" -> trunc4(punct / greatest(n, lit(1.0))),
+      "mean_word_len" -> trunc4(alpha / greatest(w, lit(1.0))),
+      "stopword_ratio" -> trunc4(
+        stopwordHits(text, langStopwords("en")).cast("double") / greatest(w, lit(1.0))))
+  }
+
+  /** Composite quality score in [0,1] (deterministic, SQL-expressible). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    trunc4(least(lit(1.0),
+      f("alpha_ratio") * 0.5 +
+        least(f("n_words").cast("double") / 100.0, lit(1.0)) * 0.3 +
+        least(f("stopword_ratio") * 5.0, lit(1.0)) * 0.2))
+  }
+
+  // ---- fingerprints / sketches ----------------------------------------
+
+  /** Content fingerprint: first 16 hex chars of md5 over the
+    * whitespace-normalized lowercase text (cross-engine reproducible).
+    */
+  def docFingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(trim(text), "\\s+", " "))), 1, 16)
+
+  /** Rolling polynomial hash (base 31, 64-bit wraparound) over normalized
+    * text — the streaming-friendly fingerprint variant (deterministic
+    * Scala; arithmetic too stateful for built-ins).
+    */
+  val rollingHash: Column => Column = {
+    val u = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        val n = s.length
+        while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
+        h
+      }
+    }
+    c => u(lower(regexp_replace(trim(c), "\\s+", " ")))
+  }
+
+  /** Word w-shingles of the normalized text (distinct). */
+  def shingles(text: Column, w: Int): Column = {
+    val ws = words(lower(text))
+    when(size(ws) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ws) - w),
+        i => concat_ws(" ", slice(ws, i + 1, lit(w))))))
+  }
+
+  /** MinHash signature (k permutations) over word shingles: for each seed,
+    * min over xxhash64(seed-prefixed shingle). All built-ins -> codegen'd,
+    * no UDF in the hot path.
+    */
+  def minhashSignature(text: Column, w: Int = 3, k: Int = 16): Column = {
+    val sh = shingles(text, w)
+    array((0 until k).map { seed =>
+      coalesce(
+        array_min(transform(sh, s => xxhash64(concat(lit(s"mh$seed#"), s)))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over word shingles (deterministic Scala UDF; the
+    * per-bit vote accumulation is clearer and faster rowwise than 64
+    * nested higher-order aggregates).
+    */
+  val simhash64: Column => Column = {
+    val u = udf { (ws: Seq[String]) =>
+      if (ws == null || ws.isEmpty) 0L
+      else {
+        val votes = new Array[Int](64)
+        ws.foreach { s =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
+            (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong & 0xffffffffL)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+    text => u(shingles(text, 3))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---- vectors ---------------------------------------------------------
+
+  /** Dot product of two float-array columns in double precision (built-in
+    * `aggregate` + `zip_with`, sequential summation: reproducible).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns (double). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines, from exact
+  * to approximate. All are set-oriented (shuffle on content keys, no
+  * driver-side loops) and scale by the same pattern: derive a compact key
+  * per document, shuffle on the key, resolve groups/pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: keep the lowest id per group.
+    * One hash-shuffle; the canonical first pass at 100 TB (the groupBy gets
+    * map-side partial aggregation, so duplicate-heavy corpora shrink
+    * before the exchange).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", Fns.docFingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dups", col("n_members") - 1)
+
+  /** Candidate near-duplicate pairs by MinHash + LSH banding:
+    * shingle -> k-permutation minhash signature -> split into bands ->
+    * group by (band index, band hash) -> emit intra-bucket pairs.
+    * Scale path: only documents sharing a band bucket are ever paired, so
+    * the quadratic blowup is confined to buckets (tune bands/rows for the
+    * target similarity threshold; bandsxrows = k).
+    */
+  def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      Fns.minhashSignature(col(textCol), shingleWidth, k).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)))
+      .select(col("id"), col("col.band"), col("col.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, pairs within `maxHamming`.
+    * Blocked by the sketch's 4 x 16-bit chunks (two near sketches must
+    * share at least one chunk when maxHamming < 4) to avoid the full
+    * cross-join.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"), Fns.simhash64(col(textCol)).as("sk"))
+    val chunked = sk.select(col("id"), col("sk"), posexplode(
+      array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sk"), i * 16).bitwiseAND(lit(0xffffL)).as("val"))): _*)))
+      .select(col("id"), col("sk"), col("col.chunk"), col("col.val"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Fns.hamming64(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    * one shingle: explode distinct shingles, self-join on shingle,
+    * |intersection| / |union| >= threshold. The shuffle key is the
+    * shingle; document pairs never materialize unless they share content.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      Fns.shingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Brute-force
+    * within LSH buckets (random-hyperplane sign bits) so the cross-join is
+    * bucket-local; `planes = 0` falls back to the full O(n^2) pair join
+    * (small corpora / oracle checks).
+    */
+  def embeddingCosine(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.9,
+      planes: Int = 0, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withKey =
+      if (planes <= 0) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", Ann.hyperplaneBucket(col("v"), planes, seed, dim))
+    withKey.as("a").join(withKey.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
