@@ -228,7 +228,7 @@ object SparkEntry {
 
     // sketch-based dedup — engine-specific hashes; rows-only checks
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), k = 16, bands = 8)
+      Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), k = 16, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -238,7 +238,8 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingCosine(s.read.parquet(t(dir, "embeddings")), threshold = 0.5)
+      Dedup.embeddingCosine(s.read.parquet(t(dir, "embeddings")),
+        threshold = 0.5, planes = 8)
         .orderBy("id_a", "id_b")
     }),
 

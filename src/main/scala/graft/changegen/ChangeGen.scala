@@ -46,6 +46,7 @@ final case class FeedConfig(
     outOfOrderWindow: Int = 0,
     eventsPerSegment: Long = 100000L,
     maxTokens: Int = 64,
+    filesPerSegment: Int = 16,
     phases: Seq[Phase] = Nil) {
   def phaseOf(lsn: Long): Phase =
     phases.find(p => lsn >= p.fromLsn && lsn < p.untilLsn)
@@ -196,7 +197,12 @@ object ChangeGen {
     phases.zipWithIndex.map { case (p, idx) =>
       val phaseDir = s"$dir/phase=$idx"
       val pdf = projectPhase(raw, p)
-      pdf.repartition(col("seg"))
+      // multiple files per segment: a one-file segment is a one-task scan
+      // (a single parquet row group is unsplittable), which serializes the
+      // whole first stage of every micro-batch
+      val nSeg = ((cfg.numEvents - 1) / cfg.eventsPerSegment + 1).toInt
+      pdf.repartition(nSeg * cfg.filesPerSegment,
+          col("seg"), pmod(xxhash64(col("lsn")), lit(cfg.filesPerSegment.toLong)))
         .sortWithinPartitions(col("seg"), col("lsn"))
         .write.partitionBy("seg").mode("overwrite").parquet(phaseDir)
       phaseDir

@@ -177,17 +177,32 @@ object Fns {
         i => concat_ws(" ", slice(ws, i + 1, lit(w))))))
   }
 
-  /** MinHash signature (k permutations) over word shingles: for each seed,
-    * min over xxhash64(seed-prefixed shingle). All built-ins -> codegen'd,
-    * no UDF in the hot path.
+  /** MinHash signature (k permutations) over word shingles. One tight-loop
+    * UDF pass: the k per-seed minima are folded in a single traversal of
+    * the shingle set. (A pure-Column formulation — k `array_min(transform
+    * (...))` terms — recomputes the shingle expression k times because
+    * Catalyst collapses projections and higher-order functions are
+    * interpreted, measured ~10x slower.)
     */
   def minhashSignature(text: Column, w: Int = 3, k: Int = 16): Column = {
-    val sh = shingles(text, w)
-    array((0 until k).map { seed =>
-      coalesce(
-        array_min(transform(sh, s => xxhash64(concat(lit(s"mh$seed#"), s)))),
-        lit(Long.MaxValue))
-    }: _*)
+    val u = udf { (ws: Seq[String]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      if (ws != null) ws.foreach { s =>
+        val base = scala.util.hashing.MurmurHash3.stringHash(s)
+        var i = 0
+        while (i < k) {
+          // splitmix-style per-seed remix of the base hash
+          var x = base.toLong ^ (i.toLong * 0x9e3779b97f4a7c15L)
+          x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+          x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+          x = x ^ (x >>> 31)
+          if (x < sig(i)) sig(i) = x
+          i += 1
+        }
+      }
+      sig
+    }
+    u(shingles(text, w))
   }
 
   /** 64-bit SimHash over word shingles (deterministic Scala UDF; the
@@ -232,7 +247,25 @@ object Fns {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two vector columns (double). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two float-vector columns, double precision.
+    * Tight-loop UDF: higher-order Column functions are interpreted
+    * per-element, ~10x slower on wide pair joins; the summation order
+    * (sequential over the array) is identical, so results match the
+    * `aggregate`-based [[dot]] bit-for-bit.
+    */
+  val cosine: (Column, Column) => Column = {
+    val u = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      // IndexedSeq-backed (Spark passes mutable.ArraySeq) — positional loop
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (a, b) => u(a, b)
+  }
 }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import java.util.UUID
 
@@ -24,18 +23,24 @@ final case class MergeResult(
   *                     more buckets => smaller rewrites per touched key,
   *                     more files. Size so one bucket's rewrite fits an
   *                     executor's shuffle memory.
-  * @param saltFactor   >0 enables the two-stage skew-proof dedupe: stage 1
-  *                     pre-reduces each (doc_id, salt) group with a partial-
-  *                     aggregable max-by (map-side combine absorbs hot keys),
+  * @param saltFactor   >1 enables the two-stage salted dedupe: stage 1
+  *                     pre-reduces each (doc_id, salt) group with a
+  *                     struct-max (map-side combine absorbs hot keys),
   *                     stage 2 runs the final row_number window over at most
-  *                     `saltFactor` rows per key. 0/1 = plain window.
+  *                     `saltFactor` rows per key. Default 0 (plain window):
+  *                     measured plans show Spark 4's WindowGroupLimit
+  *                     already performs a map-side partial top-1-per-key
+  *                     before the exchange, which bounds a hot key to
+  *                     #map-partitions rows post-shuffle — the salting
+  *                     stage costs an extra SortAggregate + Exchange for
+  *                     no additional skew protection (see BENCH.md).
   * @param broadcastThreshold  deduped-change row count below which the
   *                     changes side of the MERGE join is broadcast (no
   *                     shuffle of the rewritten target buckets).
   */
 final case class MergeConfig(
     numBuckets: Int = 32,
-    saltFactor: Int = 16,
+    saltFactor: Int = 0,
     broadcastThreshold: Long = 2000000L,
     lineageDir: Option[String] = None)
 
@@ -59,6 +64,16 @@ final case class MergeConfig(
 object MergeInto {
 
   val TOMBSTONE: String = LakeTable.TOMBSTONE
+
+  private val timingOn = sys.env.contains("GRAFT_MERGE_TIMING")
+  private def timed[T](what: String)(f: => T): T =
+    if (!timingOn) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[merge-timing] $what: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   private def storedSchema(logical: StructType): StructType =
     LakeTable.storedSchema(logical)
@@ -149,134 +164,194 @@ object MergeInto {
       batch.schema.fields.filterNot(_.name == "op").toIndexedSeq)
     val evolved = SchemaEvolution.evolve(tableSchema, incomingAsTable)
 
-    // -- 2. dedupe to one winner per key, salted against skew -----------
+    // -- 2. ONE pre-pass over the batch: touched buckets, per-bucket raw
+    // counts, distinct keys (== post-dedupe rows), LSN ranges. Partial-
+    // aggregable, <= numBuckets result rows.
     val bucketOf: Column => Column =
       k => pmod(xxhash64(k), lit(numBuckets.toLong)).cast("int")
+    val batchStats = timed("batch-stats")(batch
+      .groupBy(bucketOf(col("doc_id")).as("_bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        min("lsn").as("minL"), max("lsn").as("maxL"))
+      .collect())
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap // bucket -> (n_raw, minL, maxL)
+    val touched: Set[Int] = batchStats.keySet
+
+    if (touched.isEmpty) {
+      // empty batch: still record the ledger entry (exactly-once bookkeeping)
+      return commitManifest(table, current, evolved, numBuckets,
+        current.map(_.files).getOrElse(Nil), ledgerKey, Nil)
+    }
+    // conservative broadcast decision: raw count >= deduped count
+    val rawRows = batchStats.valuesIterator.map(_._1).sum
+
+    // -- 3. dedupe to one winner per key, salted against skew -----------
     val deduped = dedupeLatest(batch, cfg.saltFactor)
-      .withColumn("_bucket", bucketOf(col("doc_id")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    try {
-      // -- 3. batch stats: touched buckets + dedupe-dropped counts ------
-      // (two tiny aggregate jobs; results are <= numBuckets rows)
-      val rawPerBucket = batch.groupBy(bucketOf(col("doc_id")).as("_bucket"))
-        .agg(count(lit(1)).as("n_raw"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val dedupStats = deduped.groupBy(col("_bucket"))
-        .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
-        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-      val touched: Set[Int] = dedupStats.keySet
+    // -- 4. read ONLY the touched buckets of the target -----------------
+    // (manifest file pruning: untouched buckets are carried over as-is,
+    // no I/O — the analog of the reference pushing its filter into the
+    // keyed store, `PontusIdGenerator.java:299`)
+    val existingFiles = current.map(_.files).getOrElse(Seq.empty[FileEntry])
+    val (touchedFiles, keptFiles) = existingFiles.partition(f => touched.contains(f.bucket))
+    val storedOld = storedSchema(tableSchema)
+    val storedNew = storedSchema(evolved)
+    def scanTarget(): DataFrame =
+      alignTo(spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*), storedNew)
 
-      if (touched.isEmpty) {
-        // empty batch: still record the ledger entry (exactly-once bookkeeping)
-        return commitManifest(table, current, evolved, numBuckets,
-          current.map(_.files).getOrElse(Nil), ledgerKey, Nil)
-      }
+    // -- 5. MERGE join on the key ---------------------------------------
+    val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq
+    val ch = alignTo(
+      deduped.withColumn("_has_change", lit(true)),
+      StructType(evolved.fields.toIndexedSeq :+ StructField("op", StringType) :+
+        StructField("_has_change", BooleanType)))
 
-      val dedupedRows = dedupStats.valuesIterator.map(_._1).sum
+    // insert-shaped projection of change rows that match no target row
+    def insertProject(unmatchedCh: DataFrame): DataFrame = {
+      val isDel = col("op") === Ops.Delete
+      unmatchedCh.select(
+        (col("doc_id") +:
+          dataCols.map(col) :+
+          isDel.as(TOMBSTONE) :+
+          when(isDel, lit("delete_noop")).otherwise(lit("insert")).as("_status")): _*)
+    }
 
-      // -- 4. read ONLY the touched buckets of the target ---------------
-      // (manifest file pruning: untouched buckets are carried over as-is,
-      // no I/O — the analog of the reference pushing its filter into the
-      // keyed store, `PontusIdGenerator.java:299`)
-      val existingFiles = current.map(_.files).getOrElse(Seq.empty[FileEntry])
-      val (touchedFiles, keptFiles) = existingFiles.partition(f => touched.contains(f.bucket))
-      val storedOld = storedSchema(tableSchema)
-      val targetRaw =
-        if (touchedFiles.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema(evolved))
-        else
-          spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*)
-      val target = alignTo(targetRaw, storedSchema(evolved))
-
-      // -- 5. full-outer MERGE join on the key --------------------------
-      val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq
-      val ch = alignTo(
-        deduped.withColumn("_has_change", lit(true)),
-        StructType(evolved.fields.toIndexedSeq :+ StructField("op", StringType) :+
-          StructField("_has_change", BooleanType)))
-      val tg = target.withColumn("_has_target", lit(true))
-      val chSide = if (dedupedRows <= cfg.broadcastThreshold) broadcast(ch) else ch
-      val joined = tg.as("t")
-        .join(chSide.as("c"), col("t.doc_id") === col("c.doc_id"), "full_outer")
-
-      val hasT = coalesce(col("t._has_target"), lit(false))
+    // matched/kept projection from a (target x change) join frame
+    def matchProject(joined: DataFrame, hasTExpr: Column): DataFrame = {
+      val hasT = hasTExpr
       val hasC = coalesce(col("c._has_change"), lit(false))
       // change wins iff present and as-new-as the stored row (replay-safe >=)
       val changeWins = hasC && (!hasT || col("c.lsn") >= col("t.lsn"))
       val isDelete = col("c.op") === Ops.Delete
       val wasTombstone = hasT && col(s"t.$TOMBSTONE")
-
       val status = when(!hasC, lit("keep"))
         .when(!changeWins, lit("stale"))
         .when(isDelete && hasT && !wasTombstone, lit("delete"))
         .when(isDelete, lit("delete_noop"))
         .when(hasT && !wasTombstone, lit("update"))
         .otherwise(lit("insert"))
-
-      val outCols: IndexedSeq[Column] =
-        coalesce(col("t.doc_id"), col("c.doc_id")).as("doc_id") +:
+      joined.select(
+        (coalesce(col("t.doc_id"), col("c.doc_id")).as("doc_id") +:
           dataCols.map(c =>
             when(changeWins, col(s"c.$c")).otherwise(col(s"t.$c")).as(c)) :+
           when(changeWins, isDelete)
             .otherwise(coalesce(col(s"t.$TOMBSTONE"), lit(false))).as(TOMBSTONE) :+
-          status.as("_status")
+          status.as("_status")): _*)
+    }
 
-      val merged = joined.select(outCols: _*)
-        .withColumn("_bucket", bucketOf(col("doc_id")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    val useBroadcast = rawRows <= cfg.broadcastThreshold
+    val mergedFlat: DataFrame =
+      if (touchedFiles.isEmpty) {
+        // nothing to match: the whole batch inserts (or tombstones)
+        insertProject(ch)
+      } else if (useBroadcast) {
+        // Broadcast MERGE: the big target side NEVER shuffles. Spark's
+        // BroadcastHashJoin cannot build a full-outer join, so decompose:
+        //   (a) target LEFT OUTER broadcast(changes)   — matched + kept
+        //   (b) changes LEFT ANTI broadcast(matchedKeys) — pure inserts,
+        //       where matchedKeys comes from a keys-only (column-pruned)
+        //       scan of the touched files semi-joined with the change keys
+        val tg = scanTarget().withColumn("_has_target", lit(true))
+        val leftPart = matchProject(
+          tg.as("t").join(broadcast(ch).as("c"),
+            col("t.doc_id") === col("c.doc_id"), "left_outer"),
+          hasTExpr = lit(true))
+        val targetKeys = spark.read.schema(storedOld)
+          .parquet(touchedFiles.map(_.path): _*).select("doc_id")
+        val matchedKeys = targetKeys
+          .join(broadcast(deduped.select("doc_id")), Seq("doc_id"), "left_semi")
+        val insertPart = insertProject(
+          ch.join(broadcast(matchedKeys), Seq("doc_id"), "left_anti"))
+        leftPart.unionByName(insertPart)
+      } else {
+        // large batch: shuffle full-outer merge (sort-merge join, AQE
+        // handles skewed partitions). Note: a bucket-aligned variant
+        // (repartition both sides on _bucket, join on (_bucket, doc_id),
+        // write without shuffle) was measured 2.3x SLOWER at local scale —
+        // manual repartition disables AQE coalescing and loses the window
+        // exchange reuse; see BENCH.md.
+        val tg = scanTarget().withColumn("_has_target", lit(true))
+        matchProject(
+          tg.as("t").join(ch.as("c"),
+            col("t.doc_id") === col("c.doc_id"), "full_outer"),
+          hasTExpr = coalesce(col("t._has_target"), lit(false)))
+      }
 
-      try {
-        // -- 6. per-bucket merge counters (lineage), one pass -----------
-        val statusCounts = merged.groupBy(col("_bucket"), col("_status")).count()
-          .collect()
-          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-        def cnt(b: Int, s: String): Long = statusCounts.getOrElse((b, s), 0L)
+    val merged = mergedFlat.withColumn("_bucket", bucketOf(col("doc_id")))
 
-        // -- 7. write rewritten buckets + commit CAS --------------------
-        val nextVersion = current.map(_.version + 1).getOrElse(0L)
-        val staging = table.stagingDir(nextVersion)
-        val toWrite = merged.drop("_status")
-        toWrite
-          .repartition(touched.size.max(1), col("_bucket"))
-          .sortWithinPartitions(col("_bucket"), col("doc_id"))
-          .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
+    // -- 6/7. single pass: per-bucket status counters + survivor row
+    // counts + LSN ranges ride the WRITE job as observed metrics (no
+    // second scan, no persist). Buckets are bounded (numBuckets), so the
+    // flattened per-bucket conditional sums stay a modest expression list.
+    val bucketIds = touched.toSeq.sorted
+    val obs = new org.apache.spark.sql.Observation(s"merge-$ledgerKey")
+    val metricCols: Seq[Column] = bucketIds.flatMap { b =>
+      val inB = col("_bucket") === b
+      def st(s: String) = sum(when(inB && col("_status") === s, 1L).otherwise(0L))
+      Seq(
+        sum(when(inB, 1L).otherwise(0L)).as(s"n_$b"),
+        min(when(inB, col("lsn"))).as(s"minL_$b"),
+        max(when(inB, col("lsn"))).as(s"maxL_$b"),
+        st("insert").as(s"nI_$b"),
+        st("update").as(s"nU_$b"),
+        st("delete").as(s"nD_$b"),
+        st("delete_noop").as(s"nDn_$b"),
+        st("stale").as(s"nS_$b"))
+    }
 
-        val outStats = toWrite.groupBy(col("_bucket"))
-          .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
-          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-        val newFiles = table.enumerateStaged(staging, outStats)
+    val nextVersion = current.map(_.version + 1).getOrElse(0L)
+    val staging = table.stagingDir(nextVersion)
+    timed("merge-write")(merged
+      .observe(obs, metricCols.head, metricCols.tail: _*)
+      .repartition(touched.size.max(1), col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("doc_id"))
+      .drop("_status")
+      .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
-        val snapshotId = UUID.randomUUID().toString
-        val lineage = touched.toSeq.sorted.map { b =>
-          val (_, minL, maxL) = dedupStats(b)
-          graft.model.LineageRow(
-            batch_id = batchId,
-            partition = b,
-            min_lsn = minL,
-            max_lsn = maxL,
-            n_insert = cnt(b, "insert"),
-            n_update = cnt(b, "update"),
-            n_delete = cnt(b, "delete") + cnt(b, "delete_noop"),
-            n_dedup_dropped = rawPerBucket.getOrElse(b, 0L) - dedupStats(b)._1,
-            snapshot_id = snapshotId)
-        }
+    val m = obs.get
+    def mLong(k: String): Long = m.get(k) match {
+      case Some(v: Number) => v.longValue
+      case _ => 0L
+    }
 
-        // lineage parquet lands BEFORE the manifest CAS, at a deterministic
-        // per-batch path with overwrite: a crash on either side of the
-        // commit replays to the identical bytes (exactly-once metrics)
-        cfg.lineageDir.foreach { dir =>
-          import spark.implicits._
-          spark.createDataset(lineage).coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
-        }
+    val outStats = bucketIds.map { b =>
+      b -> ((mLong(s"n_$b"), mLong(s"minL_$b"), mLong(s"maxL_$b")))
+    }.toMap
+    val newFiles = timed("enumerate-staged")(table.enumerateStaged(staging, outStats))
 
-        commitManifest(table, current, evolved, numBuckets,
-          keptFiles ++ newFiles, ledgerKey, lineage, snapshotId, nextVersion)
-      } finally merged.unpersist()
-    } finally deduped.unpersist()
+    val snapshotId = UUID.randomUUID().toString
+    val lineage = bucketIds.map { b =>
+      val (nRaw, minL, maxL) = batchStats(b)
+      val (nI, nU, nD, nDn, nS) =
+        (mLong(s"nI_$b"), mLong(s"nU_$b"), mLong(s"nD_$b"),
+          mLong(s"nDn_$b"), mLong(s"nS_$b"))
+      // rows that carried a change = the batch's distinct keys
+      val nKeys = nI + nU + nD + nDn + nS
+      graft.model.LineageRow(
+        batch_id = batchId,
+        partition = b,
+        min_lsn = minL,
+        max_lsn = maxL,
+        n_insert = nI,
+        n_update = nU,
+        n_delete = nD + nDn,
+        n_dedup_dropped = nRaw - nKeys,
+        snapshot_id = snapshotId)
+    }
+
+    // lineage parquet lands BEFORE the manifest CAS, at a deterministic
+    // per-batch path with overwrite: a crash on either side of the
+    // commit replays to the identical bytes (exactly-once metrics)
+    cfg.lineageDir.foreach { dir =>
+      import spark.implicits._
+      spark.createDataset(lineage).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
+    }
+
+    commitManifest(table, current, evolved, numBuckets,
+      keptFiles ++ newFiles, ledgerKey, lineage, snapshotId, nextVersion)
   }
 
   private def commitManifest(

@@ -52,6 +52,16 @@ class CdcReplaySpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v === want(k), s"mismatch for $k") }
   }
 
+  test("shuffle merge path (broadcastThreshold=0) matches oracle too") {
+    val feed = FeedConfig(numEvents = 12000, numKeys = 400, seed = 42,
+      deleteFraction = 0.10, dupFraction = 0.05, outOfOrderWindow = 800,
+      eventsPerSegment = 3000)
+    val events = ChangeGen.generateLocal(feed)
+    val got = asMap(replay(events, tmpDir("lake-smj"),
+      MergeConfig(numBuckets = 8, broadcastThreshold = 0)))
+    assert(got === oracleMap(events))
+  }
+
   test("salting invariance: result independent of saltFactor") {
     val feed = FeedConfig(numEvents = 8000, numKeys = 50, seed = 7,
       zipf = 1.1, deleteFraction = 0.08, dupFraction = 0.05,
