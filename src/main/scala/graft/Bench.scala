@@ -32,14 +32,20 @@ object Bench {
   private def newSession(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill dirs colocated with the bench work dir (tmpfs runs
+    // isolate CPU scaling from the single local disk, which a multi-node
+    // cluster would not share)
+    sys.env.get("SPARK_GRAFT_BENCH_WORK")
+      .orElse(Some("/dev/shm").filter(d => new java.io.File(d).canWrite))
+      .foreach(d => b.config("spark.local.dir", s"$d/spark-local"))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -65,13 +71,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "4000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     // "all" | "cdc" (skip query phase) | "queries" (skip CDC phase)
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "all")
-    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    // default to tmpfs when present: CPU-scaling evidence should not be
+    // throttled by the single local disk (a real cluster's I/O is spread
+    // over many nodes); the work dir is deleted at the end of the run
+    val workBase = sys.env.get("SPARK_GRAFT_BENCH_WORK").orElse(
+      Some("/dev/shm").filter(d => new java.io.File(d).canWrite))
+    val work = workBase match {
+      case Some(d) =>
+        val p = java.nio.file.Paths.get(d, s"graft-bench-${System.nanoTime()}")
+        java.nio.file.Files.createDirectories(p); p.toString
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft-bench").toString
+    }
 
     // ---- phase 1: CDC merge throughput at two parallelism levels ------
-    val nSegments = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENTS", "8").toInt
+    val nSegments = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENTS", "4").toInt
     val feedCfg = FeedConfig(numEvents = nEvents, numKeys = (nEvents / 40).toInt.max(1000),
       seed = 42, deleteFraction = 0.05, dupFraction = 0.02,
       outOfOrderWindow = 10000, eventsPerSegment = (nEvents / nSegments).max(1))
@@ -82,9 +99,12 @@ object Bench {
       numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "32").toInt,
       saltFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SALT", "0").toInt,
       broadcastThreshold =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "2000000").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "200000").toLong)
 
-    var rate8, sec8, rateN, secN, efficiency, skewRate = 0.0
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq.distinct
+    var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)
+    var skewRate = 0.0
     if (mode != "queries") {
       // generate feeds once (deterministic content; generation not timed)
       locally {
@@ -92,11 +112,12 @@ object Bench {
         log(s"generating feeds ($nEvents events) ...")
         ChangeGen.writeFeed(s, s"$work/feed", feedCfg)
         ChangeGen.writeFeed(s, s"$work/feed-warm", warmCfg)
-        ChangeGen.writeFeed(s, s"$work/feed-skew", skewCfg)
+        if (!sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0"))
+          ChangeGen.writeFeed(s, s"$work/feed-skew", skewCfg)
         s.stop()
       }
 
-      val rates = Seq(8, cpus).distinct.map { level =>
+      rateByLevel = levels.map { level =>
         val s = newSession(level)
         log(s"local[$level] warm-up replay ...")
         replay(s, s"$work/feed-warm/phase=0", s"$work/t-warm-$level", s"warm$level", mergeCfg)
@@ -107,13 +128,8 @@ object Bench {
         level -> ((nEvents / sec, sec))
       }.toMap
 
-      rate8 = rates(8)._1; sec8 = rates(8)._2
-      rateN = rates(cpus)._1; secN = rates(cpus)._2
-      efficiency =
-        if (cpus == 8) 1.0 else (rateN / rate8) / (cpus.toDouble / 8.0)
-
       // skew sensitivity at the high level
-      skewRate = {
+      skewRate = if (sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")) 0.0 else {
         val s = newSession(cpus)
         log("zipf-skew replay ...")
         val sec = replay(s, s"$work/feed-skew/phase=0", s"$work/t-skew", "skew", mergeCfg)
@@ -140,12 +156,51 @@ object Bench {
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     def f(d: Double) = f"$d%.3f"
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+
+    // hardware parallel-scaling ceiling: raw multi-threaded spin at each
+    // level pair, so the engine's efficiency can be read against what this
+    // box can physically deliver (vCPU overcommit/SMT caps it well below
+    // 1.0 at the top end)
+    def spinRate(threads: Int): Double = {
+      val iters = 800000000L
+      val per = iters / threads
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        new Thread(() => {
+          var x = 0L; var i = 0L
+          while (i < per) { x += i * i; i += 1 }
+          if (x == 42) log("")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      iters.toDouble / ((System.nanoTime() - t0) / 1e9)
+    }
+    val hw = if (mode == "queries") Map.empty[Int, Double]
+      else {
+        spinRate(4) // JIT warm-up, discarded
+        levels.map(l => l -> spinRate(l)).toMap
+      }
+
+    val rateJson = rateByLevel.toSeq.sortBy(_._1).map { case (l, (r, sec)) =>
+      s""""local$l":{"events_per_sec":${f(r)},"sec":${f(sec)}}"""
+    }.mkString("{", ",", "}")
+    val effPairs = levels.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
+      val e = rateByLevel.get(b).flatMap(rb => rateByLevel.get(a).map(ra =>
+        (rb._1 / ra._1) / (b.toDouble / a))).getOrElse(0.0)
+      val h = (for {hb <- hw.get(b); ha <- hw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
+      s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling":${f(h)}}"""
+    }.mkString("{", ",", "}")
+    val headline = levels.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
     val cdc =
-      s"""{"events":$nEvents,"events_per_sec_local8":${f(rate8)},""" +
-        s""""events_per_sec_local$cpus":${f(rateN)},""" +
-        s""""sec_local8":${f(sec8)},"sec_local$cpus":${f(secN)},""" +
-        s""""scaling_efficiency_8_to_$cpus":${f(efficiency)},""" +
-        s""""events_per_sec_zipf1.1_local$cpus":${f(skewRate)}}"""
-    println(s"""{"metric":"graft cdc merge throughput (events/sec, local[8] vs local[$cpus]) + operator query times","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
+      s"""{"events":$nEvents,"rates":$rateJson,"scaling_efficiency":$effPairs,""" +
+        s""""events_per_sec_headline":${f(headline)},""" +
+        s""""events_per_sec_zipf1.1":${f(skewRate)}}"""
+    println(s"""{"metric":"graft cdc merge throughput (events/sec at local[${levels.mkString("],local[")}]) + operator query times","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
+    // free the (possibly tmpfs) work dir
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(work))
   }
 }

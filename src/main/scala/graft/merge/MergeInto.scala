@@ -34,14 +34,17 @@ final case class MergeResult(
   *                     #map-partitions rows post-shuffle — the salting
   *                     stage costs an extra SortAggregate + Exchange for
   *                     no additional skew protection (see BENCH.md).
-  * @param broadcastThreshold  deduped-change row count below which the
-  *                     changes side of the MERGE join is broadcast (no
-  *                     shuffle of the rewritten target buckets).
+  * @param broadcastThreshold  raw batch row count below which the changes
+  *                     side of the MERGE join is broadcast (no shuffle of
+  *                     the rewritten target buckets) — the trickle-batch
+  *                     fast path. Large batches use the shuffle merge:
+  *                     measured crossover is a few 100k rows (driver-side
+  *                     broadcast build is serial; see BENCH.md).
   */
 final case class MergeConfig(
     numBuckets: Int = 32,
     saltFactor: Int = 0,
-    broadcastThreshold: Long = 2000000L,
+    broadcastThreshold: Long = 200000L,
     lineageDir: Option[String] = None)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
