@@ -247,25 +247,12 @@ object Fns {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float-vector columns, double precision.
-    * Tight-loop UDF: higher-order Column functions are interpreted
-    * per-element, ~10x slower on wide pair joins; the summation order
-    * (sequential over the array) is identical, so results match the
-    * `aggregate`-based [[dot]] bit-for-bit.
+  /** Cosine similarity of two float-vector columns, double precision —
+    * the native Catalyst expression (whole-stage codegen'd tight loop; a
+    * Column-function formulation with `aggregate`/`zip_with` is
+    * interpreted per element and measured ~80x slower on wide pair joins).
+    * Summation order is sequential over the array, so results match the
+    * `aggregate`-based [[dot]] and the DuckDB oracle bit-for-bit.
     */
-  val cosine: (Column, Column) => Column = {
-    val u = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var dp = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      // IndexedSeq-backed (Spark passes mutable.ArraySeq) — positional loop
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dp += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      dp / (math.sqrt(na) * math.sqrt(nb))
-    }
-    (a, b) => u(a, b)
-  }
+  def cosine(a: Column, b: Column): Column = Registry.cosineSimilarity(a, b)
 }

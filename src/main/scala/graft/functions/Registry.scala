@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.functions.expressions.CosineSimilarity
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL-surface registration: expose the engine's functions to
+  * `spark.sql(...)` users. Native expressions register through the
+  * session function registry (planned + codegen'd like built-ins); the
+  * remaining deterministic Scala functions register as named UDFs.
+  */
+object Registry {
+
+  /** Column-API handle for the native cosine expression (Spark 4 Column
+    * API split: classic conversions bridge Column <-> Expression).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+
+    spark.udf.register("graft_hmac_sha256",
+      (key: String, s: String) => {
+        if (s == null) null
+        else {
+          val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+          mac.init(new javax.crypto.spec.SecretKeySpec(
+            key.getBytes("UTF-8"), "HmacSHA256"))
+          java.util.Base64.getEncoder.encodeToString(
+            mac.doFinal(s.getBytes("UTF-8")))
+        }
+      })
+
+    spark.udf.register("graft_rolling_hash", (s: String) => {
+      if (s == null) 0L
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+        h
+      }
+    })
+  }
+}

@@ -1,0 +1,115 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.util.UUID
+
+/** Table maintenance for long-running CDC ingest: bucket compaction,
+  * tombstone garbage collection, and orphan-file vacuum. All are
+  * snapshot-in/snapshot-out (never mutate referenced files) and commit
+  * through the same CAS as the merge path.
+  *
+  * At 10^10-event scale these are what keep read amplification bounded: a
+  * busy bucket accumulates one file per micro-batch, and every delete
+  * leaves a tombstone row that only exists to fence out-of-order stragglers.
+  */
+object Maintenance {
+
+  /** Result of a compaction run. */
+  final case class CompactionResult(
+      snapshotId: String,
+      version: Long,
+      filesBefore: Int,
+      filesAfter: Int,
+      tombstonesDropped: Boolean)
+
+  /** Rewrite each bucket's file set into one file per bucket, dropping
+    * tombstone rows whose LSN is at or below `tombstoneWatermark`.
+    *
+    * The watermark is the caller's promise that no in-flight change event
+    * has an LSN <= it (e.g. the feed's committed low-watermark): a
+    * tombstone only exists to fence out-of-order events older than the
+    * delete, so once the feed has advanced past that LSN the tombstone is
+    * dead weight. Pass Long.MinValue to keep all tombstones.
+    */
+  def compact(spark: SparkSession, table: LakeTable,
+      tombstoneWatermark: Long = Long.MinValue): CompactionResult = {
+    val m = table.currentManifest()
+    val stored = LakeTable.storedSchema(m.schema)
+    val nextVersion = m.version + 1
+    val staging = table.stagingDir(nextVersion)
+
+    val df = spark.read.schema(stored).parquet(m.files.map(_.path): _*)
+      .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
+      .withColumn("_bucket",
+        pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
+
+    df.repartition(m.numBuckets, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("doc_id"))
+      .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
+
+    val staged = table.enumerateStaged(staging, Map.empty)
+    val outStats =
+      if (staged.isEmpty) Map.empty[Int, (Long, Long, Long)]
+      else spark.read.schema(stored).parquet(staged.map(_.path): _*)
+        .withColumn("_bucket",
+          pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
+        .groupBy("_bucket")
+        .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val newFiles = staged.map { f =>
+      val (n, minL, maxL) = outStats.getOrElse(f.bucket, (0L, Long.MaxValue, Long.MinValue))
+      f.copy(rows = n, minLsn = minL, maxLsn = maxL)
+    }
+
+    val snapshotId = UUID.randomUUID().toString
+    table.commit(Manifest(
+      version = nextVersion,
+      snapshotId = snapshotId,
+      parentSnapshotId = Some(m.snapshotId),
+      schemaJson = m.schemaJson,
+      numBuckets = m.numBuckets,
+      files = newFiles,
+      ledger = m.ledger))
+    CompactionResult(snapshotId, nextVersion, m.files.size, newFiles.size,
+      tombstoneWatermark > Long.MinValue)
+  }
+
+  /** Delete data files not referenced by any manifest at or above
+    * `retainFromVersion` (orphans from lost CAS races or superseded
+    * snapshots). Returns the deleted paths. Time-travel to versions below
+    * the horizon stops working — that is the point.
+    */
+  def vacuum(table: LakeTable, retainFromVersion: Long): Seq[String] = {
+    val conf = table.conf
+    val root = new Path(table.root)
+    val fs = root.getFileSystem(conf)
+    val current = table.currentVersion()
+    if (current < 0) return Nil
+    val live: Set[String] =
+      (retainFromVersion.max(0) to current).flatMap { v =>
+        try table.readManifest(v).files.map(f =>
+          Path.getPathWithoutSchemeAndAuthority(new Path(f.path)).toString)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Nil
+    val it = fs.listFiles(dataDir, true)
+    val deleted = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val p = Path.getPathWithoutSchemeAndAuthority(st.getPath).toString
+        if (!live.contains(p)) {
+          fs.delete(st.getPath, false)
+          deleted += p
+        }
+      }
+    }
+    deleted.result()
+  }
+}

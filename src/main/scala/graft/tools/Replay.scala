@@ -78,6 +78,14 @@ object Replay {
           f"v${res.version} insert=$ins update=$upd delete=$del dedup_dropped=$dup skipped=${res.skipped}")
       }
     }
+    if (sys.env.get("GRAFT_REPLAY_COMPACT").contains("1")) {
+      val tombs = table.readStored(spark).filter(col("_tombstone")).count()
+      val res = graft.table.Maintenance.compact(spark, table,
+        tombstoneWatermark = Long.MaxValue - 1)
+      val orphans = graft.table.Maintenance.vacuum(table, res.version)
+      println(s"[replay] compacted: files ${res.filesBefore} -> ${res.filesAfter}, " +
+        s"tombstones GC'd: $tombs, orphan files vacuumed: ${orphans.size}")
+    }
     val finalState = table.read(spark)
     val m = table.currentManifest()
     println(s"[replay] feed rows applied: $applied")
