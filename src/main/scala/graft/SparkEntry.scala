@@ -119,6 +119,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // QueryRecord in its literal form: a SQL text per output relationship
+    // over the current batch (reference flow.xml:6432-6475); also covers
+    // the query-from-input processor (PontusTinkerPopClientQueryFromFlowFile)
+    "route_sql_query" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events")).createOrReplaceTempView("FLOWFILE")
+      s.sql("""SELECT event_id, user_id, event_type FROM FLOWFILE
+              |WHERE event_type = 'signup' AND user_id % 2 = 0
+              |ORDER BY event_id""".stripMargin)
+    }),
+
+    // UDTF-shaped explode (reference PST/archive explode: 1 blob -> N
+    // records): one document -> its distinct word 3-shingles
+    "explode_shingles" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 20)
+      d.select(d("doc_id"), explode(Fns.shingles(d("text"), 3)).as("shingle"))
+        .orderBy("doc_id", "shingle")
+    }),
+
     "route_tagged_counts" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
       Route.tagged(ev, Seq(
@@ -394,6 +412,22 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' AND value > 50
         |ORDER BY event_id""".stripMargin,
+
+    "route_sql_query" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'signup' AND user_id % 2 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "explode_shingles" -> {
+      val ws = wordsSqlOf("text")
+      s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents WHERE doc_id < 20),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ')
+         |                        for i in range(1, len(ws) - 1)]) AS shs
+         |       FROM w WHERE len(ws) >= 3)
+         |SELECT doc_id, unnest(shs) AS shingle FROM sh
+         |ORDER BY doc_id, shingle""".stripMargin
+    },
 
     "route_tagged_counts" ->
       """SELECT CASE
