@@ -177,6 +177,21 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
   }
 
+  /** Time travel: live rows as of snapshot `version` (every manifest is
+    * immutable and self-contained, so this is just a read of an older
+    * file listing — until a vacuum retires it).
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val m = readManifest(version)
+    val stored = LakeTable.storedSchema(m.schema)
+    val df =
+      if (m.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+      else spark.read.schema(stored).parquet(m.files.map(_.path): _*)
+    df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+  }
+
   /** Read the physical table state including tombstone rows. */
   def readStored(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
     currentManifestOpt() match {

@@ -88,6 +88,9 @@ object Replay {
     }
     val finalState = table.read(spark)
     val m = table.currentManifest()
+    if (m.version > 0)
+      println(s"[replay] time travel: v0 had ${table.readVersion(spark, 0).count()} " +
+        s"surviving rows vs v${m.version} now")
     println(s"[replay] feed rows applied: $applied")
     println(s"[replay] final snapshot: ${m.snapshotId} (version ${m.version}, " +
       s"${m.files.size} files, ${m.ledger.size} ledger entries)")
