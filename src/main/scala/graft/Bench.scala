@@ -101,7 +101,12 @@ object Bench {
       broadcastThreshold =
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "200000").toLong)
 
-    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
+    // N -> 4N evidence defaults to 2 -> 8: the raw-spin calibration shows
+    // this box scales ~linearly to 8 threads but only ~2x from 8 to 32
+    // (vCPU overcommit), so 8 -> 32 measures the host, not the engine.
+    // Add 32 via SPARK_GRAFT_BENCH_LEVELS=2,8,32 for the ceiling-pinned
+    // comparison (see BENCH.md).
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8")
       .split(",").map(_.trim.toInt).toSeq.distinct
     var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)
     var skewRate = 0.0

@@ -78,15 +78,23 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      Fns.shingles(col(textCol), shingleWidth).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    exploded.as("a").join(exploded.as("b"),
+    // keep the self-joined frame NARROW (id, shingle) and identical on
+    // both sides: the join's two shuffles then come from the same subtree
+    // and Spark's ReuseExchange evaluates the (expensive, interpreted)
+    // shingle pipeline once; per-doc set sizes join back afterwards as a
+    // small broadcast instead of riding every exploded row
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(Fns.shingles(col(textCol), shingleWidth)).as("s"))
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = exploded.as("a").join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "na")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "nb")), Seq("id_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
