@@ -98,3 +98,38 @@ class PropertySpec extends SparkSpec {
     assert(table.currentVersion() > 0)
   }
 }
+
+/** Commit-protocol unit tests (SURVEY §5.5): the CAS admits exactly one
+  * writer per version.
+  */
+class CommitCasSpec extends SparkSpec {
+  import graft.table.{CommitConflictException, LakeTable, Manifest}
+
+  test("second commit of the same version loses the CAS") {
+    val table = LakeTable(tmpDir("lake-cas"))
+    def manifest(snap: String) = Manifest(
+      version = 0L, snapshotId = snap, parentSnapshotId = None,
+      schemaJson = graft.model.Schemas.seqTable.json, numBuckets = 4,
+      files = Nil, ledger = Map("cp/0" -> snap))
+    table.commit(manifest("winner"))
+    intercept[CommitConflictException] { table.commit(manifest("loser")) }
+    assert(table.currentManifest().snapshotId === "winner")
+    // the loser re-reads and retries at the next version
+    table.commit(manifest("retry").copy(version = 1L,
+      parentSnapshotId = Some("winner")))
+    assert(table.currentVersion() === 1L)
+  }
+
+  test("ledger idempotence lookup works across versions") {
+    val table = LakeTable(tmpDir("lake-ledger"))
+    val m0 = Manifest(0L, "s0", None, graft.model.Schemas.seqTable.json, 4,
+      Nil, Map("cp/0" -> "s0"))
+    table.commit(m0)
+    table.commit(m0.copy(version = 1L, snapshotId = "s1",
+      parentSnapshotId = Some("s0"), ledger = m0.ledger + ("cp/1" -> "s1")))
+    assert(table.committedSnapshot("cp", 0L) === Some("s0"))
+    assert(table.committedSnapshot("cp", 1L) === Some("s1"))
+    assert(table.committedSnapshot("cp", 2L) === None)
+    assert(table.committedSnapshot("other", 0L) === None)
+  }
+}
