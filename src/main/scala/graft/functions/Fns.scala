@@ -215,8 +215,9 @@ object Fns {
       else {
         val votes = new Array[Int](64)
         ws.foreach { s =>
+          // two murmur seeds -> 64 bits, no intermediate allocation
           val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong & 0xffffffffL)
+            (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
