@@ -45,7 +45,10 @@ final case class MergeConfig(
     numBuckets: Int = 32,
     saltFactor: Int = 0,
     broadcastThreshold: Long = 200000L,
-    lineageDir: Option[String] = None)
+    lineageDir: Option[String] = None,
+    deadLetterDir: Option[String] = None,
+    commitRetries: Int = 3,
+    preCommitHook: () => Unit = () => ())
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -136,7 +139,10 @@ object MergeInto {
 
   /** Apply one micro-batch to `table`. Idempotent per (checkpointId,
     * batchId): if the ledger already records this batch, the call is a
-    * no-op returning the committed snapshot.
+    * no-op returning the committed snapshot. Safe under concurrent
+    * writers: a lost manifest CAS re-runs the merge against the winner's
+    * snapshot (the loser's staged files become orphans for vacuum), up to
+    * `commitRetries` attempts.
     */
   def apply(
       spark: SparkSession,
@@ -145,6 +151,42 @@ object MergeInto {
       checkpointId: String,
       batchId: Long,
       cfg: MergeConfig = MergeConfig()): MergeResult = {
+    var attempt = 0
+    while (true) {
+      try return applyOnce(spark, table, batch, checkpointId, batchId, cfg)
+      catch {
+        case e: graft.table.CommitConflictException =>
+          attempt += 1
+          if (attempt > cfg.commitRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def applyOnce(
+      spark: SparkSession,
+      table: LakeTable,
+      batch0: DataFrame,
+      checkpointId: String,
+      batchId: Long,
+      cfg: MergeConfig): MergeResult = {
+
+    // -- -1. dead-letter routing (the reference's failure relationship,
+    // PontusTinkerPopClient.java:213-258): structurally invalid events
+    // (null key / null lsn / unknown op) divert to a quarantine table at a
+    // deterministic per-batch path (idempotent overwrite) instead of
+    // corrupting the merge
+    val batch = cfg.deadLetterDir match {
+      case None => batch0
+      case Some(dir) =>
+        val bad = !col("doc_id").isNotNull || !col("lsn").isNotNull ||
+          !col("op").isInCollection(Ops.all)
+        val rejects = batch0.filter(bad)
+        if (!rejects.isEmpty)
+          rejects.write.mode("overwrite")
+            .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
+        batch0.filter(!bad)
+    }
 
     val current = table.currentManifestOpt()
 
@@ -353,6 +395,7 @@ object MergeInto {
         .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
     }
 
+    cfg.preCommitHook()
     commitManifest(table, current, evolved, numBuckets,
       keptFiles ++ newFiles, ledgerKey, lineage, snapshotId, nextVersion)
   }
