@@ -244,6 +244,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(s.read.parquet(t(dir, "documents")), threshold = 0.2)
+      Dedup.clusters(pairs, maxIter = 8).orderBy("id")
+    }),
+
     // sketch-based dedup — engine-specific hashes; rows-only checks
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), k = 16, bands = 4)
@@ -519,6 +524,28 @@ object SparkEntry {
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |HAVING round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_clusters" -> {
+      val ws = wordsSqlOf("text")
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $ws AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ')
+         |                        for i in range(1, len(ws) - 1)]) AS shs
+         |       FROM w WHERE len(ws) >= 3),
+         |e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |  HAVING round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id)
+         |SELECT id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY id""".stripMargin
     },
 
     "ann_bruteforce_topk" ->

@@ -102,6 +102,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Resolve near-duplicate PAIRS into clusters: each doc gets the
+    * minimum id reachable through the pair graph (bounded label
+    * propagation, `maxIter` join rounds — diameter above that is split,
+    * which is conservative for dedup). Everything stays set-oriented: one
+    * self-join + aggregate per round, no driver-side graph.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    while (i < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      labels = labels.select(col("id"), col("label"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Survivors after near-dup clustering: keep the lowest id per cluster;
+    * docs that appear in no pair keep themselves.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 5): DataFrame = {
+    val cl = clusters(pairs, maxIter)
+    val losers = cl.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute-force
     * within LSH buckets (random-hyperplane sign bits) so the cross-join is
     * bucket-local; `planes = 0` falls back to the full O(n^2) pair join

@@ -117,6 +117,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get(1L -> 3L).forall(_ <= 16L))
   }
 
+  test("pair clustering resolves transitive near-dup groups") {
+    // chain 1-2-3 plus isolated pair (7,9): clusters {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val survivors = Dedup.dropNearDuplicates(docs, Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 3L, 4L, 6L))
+  }
+
   test("embedding cosine dedup finds the planted near-duplicate") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
