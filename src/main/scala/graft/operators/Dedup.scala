@@ -121,6 +121,10 @@ object Dedup {
       labels = labels.select(col("id"), col("label"))
         .union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
+      // truncate the iterative plan every few rounds: unchecked, the
+      // lineage doubles per iteration and analysis/codegen time dominates
+      // long chains at scale
+      if ((i + 1) % 3 == 0 && i + 1 < maxIter) labels = labels.localCheckpoint()
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
