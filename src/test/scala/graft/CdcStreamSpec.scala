@@ -75,6 +75,43 @@ class CdcStreamSpec extends SparkSpec {
     assert(got === oracleMap(feed))
   }
 
+  test("kill-and-resume: crash BEFORE commit replays the batch fully") {
+    val work = tmpDir("stream-kill2")
+    val feed = FeedConfig(numEvents = 8000, numKeys = 250, seed = 44,
+      deleteFraction = 0.05, dupFraction = 0.02, outOfOrderWindow = 200,
+      eventsPerSegment = 2000)
+    val Seq(phaseDir) = ChangeGen.writeFeed(spark, s"$work/feed", feed)
+    // crash inside the SECOND batch's merge, after its data files are
+    // staged but before the manifest CAS (the other half of the
+    // exactly-once window)
+    var calls = 0
+    val crashOnce: () => Unit = () => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("simulated pre-commit crash")
+    }
+    val base = StreamConfig(
+      feedDir = phaseDir, tableDir = s"$work/table",
+      checkpointDir = s"$work/cp", checkpointId = "s3",
+      maxFilesPerTrigger = 4,
+      merge = MergeConfig(numBuckets = 8, preCommitHook = crashOnce))
+    val q = CdcStream.start(spark, base)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // restart: the crashed batch has NO ledger entry -> fully re-applied
+    val skipped = mutable.ArrayBuffer.empty[Long]
+    val got = asMap(CdcStream.runToCompletion(spark, base, (id, res) =>
+      if (res.skipped) skipped += id))
+    assert(got === oracleMap(feed))
+    // the replay re-stages at the same version with overwrite, so the
+    // crashed attempt leaves no orphans (those only arise from CAS-race
+    // losers at a superseded version — covered in MaintenanceSpec)
+    val table = graft.table.LakeTable(s"$work/table")
+    assert(graft.table.Maintenance.vacuum(table, retainFromVersion =
+      table.currentVersion()).nonEmpty) // superseded snapshots vacuumable
+    assert(asMap(table.read(spark)) === oracleMap(feed))
+  }
+
   test("restart-based schema evolution across feed phases") {
     val work = tmpDir("stream-evo")
     val feed = FeedConfig(numEvents = 6000, numKeys = 200, seed = 8,
