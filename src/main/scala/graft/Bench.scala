@@ -9,16 +9,30 @@ import org.apache.spark.sql.functions.col
 /** Benchmark main. Two phases:
   *
   * 1. CDC MERGE throughput (the BASELINE.json metric): replay a
-  *    deterministic change feed through the MERGE kernel at TWO parallelism
-  *    levels — local[8] and local[32] — on identical input, reporting
-  *    events/sec at each and the scaling efficiency
-  *    (rate32/rate8)/(32/8). This is the sandbox evidence for the
+  *    deterministic change feed through the MERGE kernel at multiple
+  *    parallelism levels (default local[2], local[8], local[32]) on
+  *    identical input, reporting events/sec at each level and the
+  *    pairwise scaling efficiency — the sandbox evidence for the
   *    north-rule two-cluster-size criterion (no real cluster here).
-  *    A warm-up replay precedes each timed run (JIT + codegen warm-up,
-  *    the reference's 20-call warm-up pattern,
+  *
+  *    EACH TIMED REPLAY RUNS IN ITS OWN CHILD JVM. A shared JVM poisons
+  *    the comparison: measured in round 2, a local[8] replay run after a
+  *    local[2] replay in the same JVM degrades ~12x (42k vs 576k
+  *    events/s — accumulated heap garbage from the first session turns
+  *    the higher-allocation-rate second session GC-bound), which is
+  *    exactly the anomaly in the round-1 driver bench. Fresh JVMs per
+  *    level also mirror what "two cluster sizes" actually means. Each
+  *    child does its own warm-up replay before the timed one (JIT +
+  *    codegen warm-up — the reference's 20-call warm-up pattern,
   *    ClusterClientServiceImpl.java:70-80).
-  *    A Zipf-skewed feed variant shows the salted dedupe holding
-  *    throughput under hot keys.
+  *
+  *    Levels run `reps` times each (default 3, interleaved across levels
+  *    so host drift hits all levels equally); the reported rate is the
+  *    per-level BEST rep (external host contention is one-sided noise —
+  *    the same replay measures 3x slower in a loaded minute — so the
+  *    fastest rep best estimates the noise-free rate; all rep rates ship
+  *    in the JSON). Per-batch seconds, GC and JIT time ship per rep so
+  *    an anomalous run is localizable.
   *
   * 2. Headline operator queries on SPARK_GRAFT_SF_DIR, one wall-clock
   *    second figure each.
@@ -29,7 +43,7 @@ import org.apache.spark.sql.functions.col
   */
 object Bench {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private def newSession(cpus: Int, localDir: String): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
@@ -39,36 +53,165 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // shuffle/spill dirs colocated with the bench work dir (tmpfs runs
-    // isolate CPU scaling from the single local disk, which a multi-node
-    // cluster would not share)
-    sys.env.get("SPARK_GRAFT_BENCH_WORK")
-      .orElse(Some("/dev/shm").filter(d => new java.io.File(d).canWrite))
-      .foreach(d => b.config("spark.local.dir", s"$d/spark-local"))
+      // shuffle/spill colocated with the (tmpfs by default) work dir: CPU
+      // scaling evidence must not be throttled by the single local disk,
+      // which a multi-node cluster would not share
+      .config("spark.local.dir", localDir)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** Replay every segment of a feed phase dir through MergeInto; returns
-    * wall seconds.
+    * (wall seconds, per-batch seconds).
     */
   private def replay(spark: SparkSession, phaseDir: String, tableDir: String,
-      checkpointId: String, cfg: MergeConfig): Double = {
+      checkpointId: String, cfg: MergeConfig): (Double, Seq[Double]) = {
     val segs = spark.read.parquet(phaseDir).select("seg").distinct()
       .collect().map(_.get(0).toString.toLong).sorted
     val t0 = System.nanoTime()
-    segs.foreach { seg =>
+    val perBatch = segs.map { seg =>
+      val b0 = System.nanoTime()
       val batch = spark.read.parquet(phaseDir)
         .filter(col("seg") === seg).drop("seg")
       MergeInto.apply(spark, LakeTable(tableDir), batch, checkpointId, seg, cfg)
-    }
-    (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - b0) / 1e9
+    }.toSeq
+    ((System.nanoTime() - t0) / 1e9, perBatch)
   }
 
   private def log(msg: String): Unit = System.err.println(s"[bench] $msg")
 
+  private def rmr(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
+    f.delete(): Unit
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
+  private def mergeCfgFromEnv(): MergeConfig = MergeConfig(
+    numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "32").toInt,
+    saltFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SALT", "0").toInt,
+    broadcastThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "200000").toLong)
+
+  /** Child mode: warm-up + one timed replay at a given level, in this
+    * fresh JVM. The warm-up replays the FULL feed once into a throwaway
+    * table — a fresh JVM is JIT-cold, and a small warm-up leaves the
+    * timed run measuring the C2 compiler instead of the engine (measured:
+    * a 100k-event warm-up leaves local[8] at 146k ev/s vs 576k warm).
+    * Prints a single parseable result line.
+    */
+  private def childMain(level: Int, work: String, feed: String,
+      warmFeed: String, tag: String): Unit = {
+    val cfg = mergeCfgFromEnv()
+    val spark = newSession(level, s"$work/spark-local-$tag")
+    val (smallSec, _) =
+      replay(spark, s"$warmFeed/phase=0", s"$work/t-warm-$tag", s"warm$tag", cfg)
+    val (fullSec, _) =
+      replay(spark, s"$feed/phase=0", s"$work/t-warm2-$tag", s"warm2$tag", cfg)
+    // let the JIT compile queue drain before timing: at high parallelism
+    // the worker threads starve the compiler threads, so steady state
+    // arrives much later in wall time (measured at local[32]: timed
+    // batches 26 s, 36 s, 38 s, 12 s, 1.7 s — still compiling through the
+    // first four). Idle CPUs drain the queue quickly; resume when total
+    // compilation time stops advancing.
+    val quiesce0 = System.nanoTime()
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    var lastJit = -1L
+    var settled = 0
+    while (settled < 2 && (System.nanoTime() - quiesce0) / 1e9 < 120.0) {
+      Thread.sleep(1000)
+      val j = comp.getTotalCompilationTime
+      if (lastJit >= 0 && j - lastJit < 100) settled += 1 else settled = 0
+      lastJit = j
+    }
+    val quiesceSec = (System.nanoTime() - quiesce0) / 1e9
+    val warmSec = smallSec + fullSec + quiesceSec
+    val (sec, perBatch) =
+      replay(spark, s"$feed/phase=0", s"$work/t-$tag", s"cdc$tag", cfg)
+    val gc = gcMillis()
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+    spark.stop()
+    println(f"GRAFT_CHILD sec=$sec%.3f warm=$warmSec%.3f gc_ms=$gc jit_ms=$jit " +
+      s"batches=${perBatch.map(d => f"$d%.3f").mkString(",")}")
+  }
+
+  private final case class ChildResult(
+      sec: Double, warmSec: Double, gcMs: Long, batches: Seq[Double],
+      jitMs: Long = 0L)
+
+  /** Spawn a child JVM running childMain at `level`; falls back to an
+    * in-process replay (fresh session, same JVM) if spawning fails.
+    */
+  private def runLevel(level: Int, work: String, feed: String,
+      warmFeed: String, tag: String): ChildResult = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    import scala.jdk.CollectionConverters._
+    // forward this JVM's flags (add-opens for Spark-on-JDK17, -Xmx, -D):
+    // the child must be configured exactly like the parent
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D"))
+    val cmd = Seq(javaBin) ++ inherited ++
+      Seq("-cp", cp, "graft.Bench", "--replay-child",
+        level.toString, work, feed, warmFeed, tag)
+    val result =
+      try {
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val err = p.getErrorStream.readAllBytes()
+        val rc = p.waitFor()
+        out.linesIterator.find(_.startsWith("GRAFT_CHILD")) match {
+          case Some(line) if rc == 0 =>
+            val kv = line.stripPrefix("GRAFT_CHILD").trim.split(" ")
+              .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+            Some(ChildResult(
+              sec = kv("sec").toDouble,
+              warmSec = kv("warm").toDouble,
+              gcMs = kv("gc_ms").toLong,
+              batches = kv.getOrElse("batches", "").split(",")
+                .filter(_.nonEmpty).map(_.toDouble).toSeq,
+              jitMs = kv.getOrElse("jit_ms", "0").toLong))
+          case _ =>
+            log(s"child local[$level] rc=$rc; stderr tail: " +
+              new String(err, java.nio.charset.StandardCharsets.UTF_8)
+                .linesIterator.toSeq.takeRight(3).mkString(" | "))
+            None
+        }
+      } catch {
+        case e: Exception => log(s"child spawn failed: ${e.getMessage}"); None
+      }
+    result.getOrElse {
+      log(s"falling back to in-process replay at local[$level]")
+      val cfg = mergeCfgFromEnv()
+      val spark = newSession(level, s"$work/spark-local-$tag")
+      val (warmSec, _) =
+        replay(spark, s"$warmFeed/phase=0", s"$work/t-warm-$tag", s"warm$tag", cfg)
+      val (sec, perBatch) =
+        replay(spark, s"$feed/phase=0", s"$work/t-$tag", s"cdc$tag", cfg)
+      spark.stop()
+      ChildResult(sec, warmSec, 0L, perBatch)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--replay-child")) {
+      val Array(_, level, work, feed, warmFeed, tag) = args
+      childMain(level.toInt, work, feed, warmFeed, tag)
+      return
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
@@ -87,7 +230,7 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-bench").toString
     }
 
-    // ---- phase 1: CDC merge throughput at two parallelism levels ------
+    // ---- phase 1: CDC merge throughput at parallelism levels -----------
     val nSegments = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENTS", "4").toInt
     val feedCfg = FeedConfig(numEvents = nEvents, numKeys = (nEvents / 40).toInt.max(1000),
       seed = 42, deleteFraction = 0.05, dupFraction = 0.02,
@@ -95,57 +238,66 @@ object Bench {
     val warmCfg = feedCfg.copy(numEvents = nEvents / 20,
       eventsPerSegment = (nEvents / 40).max(1))
     val skewCfg = feedCfg.copy(zipf = 1.1)
-    val mergeCfg = MergeConfig(
-      numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "32").toInt,
-      saltFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SALT", "0").toInt,
-      broadcastThreshold =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "200000").toLong)
 
-    // N -> 4N evidence defaults to 2 -> 8: the raw-spin calibration shows
-    // this box scales ~linearly to 8 threads but only ~2x from 8 to 32
-    // (vCPU overcommit), so 8 -> 32 measures the host, not the engine.
-    // Add 32 via SPARK_GRAFT_BENCH_LEVELS=2,8,32 for the ceiling-pinned
-    // comparison (see BENCH.md).
-    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8")
+    // N -> 4N evidence: 2 -> 8 and 8 -> 32 both reported, each alongside
+    // the raw-spin hardware ceiling of this box for the same pair (vCPU
+    // overcommit caps the top pair well below 1.0; the engine is read
+    // against what the host can physically deliver).
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq.distinct
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val doSkew = !sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")
+
     var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)
+    var repsByLevel = Map.empty[Int, Seq[ChildResult]]
     var skewRate = 0.0
     if (mode != "queries") {
       // generate feeds once (deterministic content; generation not timed)
       locally {
-        val s = newSession(cpus)
+        val s = newSession(cpus, s"$work/spark-local-gen")
         log(s"generating feeds ($nEvents events) ...")
         ChangeGen.writeFeed(s, s"$work/feed", feedCfg)
         ChangeGen.writeFeed(s, s"$work/feed-warm", warmCfg)
-        if (!sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0"))
-          ChangeGen.writeFeed(s, s"$work/feed-skew", skewCfg)
+        if (doSkew) ChangeGen.writeFeed(s, s"$work/feed-skew", skewCfg)
         s.stop()
       }
 
-      rateByLevel = levels.map { level =>
-        val s = newSession(level)
-        log(s"local[$level] warm-up replay ...")
-        replay(s, s"$work/feed-warm/phase=0", s"$work/t-warm-$level", s"warm$level", mergeCfg)
-        log(s"local[$level] timed replay ...")
-        val sec = replay(s, s"$work/feed/phase=0", s"$work/t-$level", s"cdc$level", mergeCfg)
-        s.stop()
-        log(f"local[$level]: $sec%.1f s = ${nEvents / sec}%.0f events/s")
-        level -> ((nEvents / sec, sec))
-      }.toMap
+      // interleave reps across levels so host drift is shared evenly
+      val runs = for (r <- 1 to reps; l <- levels) yield (r, l)
+      val results = runs.map { case (r, l) =>
+        val tag = s"$l-$r"
+        val res = runLevel(l, work, s"$work/feed", s"$work/feed-warm", tag)
+        log(f"local[$l] rep$r: ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s " +
+          f"(warm ${res.warmSec}%.1f s, gc ${res.gcMs} ms, jit ${res.jitMs} ms)")
+        // free the per-run table + shuffle dirs immediately (bounds tmpfs)
+        Seq(s"t-$tag", s"t-warm-$tag", s"t-warm2-$tag", s"spark-local-$tag")
+          .foreach(d => rmr(new java.io.File(s"$work/$d")))
+        l -> res
+      }
+      repsByLevel = results.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // best-of-reps per level: external host contention on this box is
+      // one-sided noise (measured: the same replay varies 3x between
+      // quiet and loaded minutes), so the fastest rep is the closest
+      // estimate of the noise-free engine rate; every rep's rate ships
+      // in the JSON for transparency
+      rateByLevel = repsByLevel.map { case (l, rs) =>
+        val sec = rs.map(_.sec).min
+        l -> ((nEvents / sec, sec))
+      }
 
-      // skew sensitivity at the high level
-      skewRate = if (sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")) 0.0 else {
-        val s = newSession(cpus)
-        log("zipf-skew replay ...")
-        val sec = replay(s, s"$work/feed-skew/phase=0", s"$work/t-skew", "skew", mergeCfg)
-        s.stop()
-        nEvents / sec
+      // skew sensitivity at the top level (own child JVM)
+      skewRate = if (!doSkew) 0.0 else {
+        val top = levels.max
+        val res = runLevel(top, work, s"$work/feed-skew", s"$work/feed-warm",
+          s"skew-$top")
+        log(f"zipf skew local[$top]: ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s")
+        nEvents / res.sec
       }
     }
 
     // ---- phase 2: headline operator queries ---------------------------
     val queryTimes = if (mode == "cdc") Seq.empty else {
-      val s = newSession(cpus)
+      val s = newSession(cpus, s"$work/spark-local-q")
       val ts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(s, sfDir).count(); true }
@@ -163,9 +315,9 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
 
     // hardware parallel-scaling ceiling: raw multi-threaded spin at each
-    // level pair, so the engine's efficiency can be read against what this
-    // box can physically deliver (vCPU overcommit/SMT caps it well below
-    // 1.0 at the top end)
+    // level, so the engine's efficiency can be read against what this box
+    // can physically deliver (vCPU overcommit/SMT caps it below 1.0 at
+    // the top end)
     def spinRate(threads: Int): Double = {
       val iters = 800000000L
       val per = iters / threads
@@ -187,25 +339,29 @@ object Bench {
       }
 
     val rateJson = rateByLevel.toSeq.sortBy(_._1).map { case (l, (r, sec)) =>
-      s""""local$l":{"events_per_sec":${f(r)},"sec":${f(sec)}}"""
+      val rs = repsByLevel.getOrElse(l, Nil)
+      val repRates = rs.map(x => f(nEvents / x.sec)).mkString("[", ",", "]")
+      val gcs = rs.map(_.gcMs).mkString("[", ",", "]")
+      val best = rs.sortBy(_.sec).headOption
+      val batches = best.map(_.batches.map(f).mkString("[", ",", "]")).getOrElse("[]")
+      s""""local$l":{"events_per_sec":${f(r)},"sec":${f(sec)},""" +
+        s""""rep_rates":$repRates,"gc_ms":$gcs,"batch_sec":$batches}"""
     }.mkString("{", ",", "}")
-    val effPairs = levels.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
+    val effPairs = levels.sorted.sliding(2).filter(_.size == 2).map { case Seq(a, b) =>
       val e = rateByLevel.get(b).flatMap(rb => rateByLevel.get(a).map(ra =>
         (rb._1 / ra._1) / (b.toDouble / a))).getOrElse(0.0)
       val h = (for {hb <- hw.get(b); ha <- hw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
-      s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling":${f(h)}}"""
+      s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling":${f(h)},""" +
+        s""""engine_vs_hw":${f(if (h > 0) e / h else 0.0)}}"""
     }.mkString("{", ",", "}")
-    val headline = levels.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
+    val headline = levels.sorted.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
     val cdc =
-      s"""{"events":$nEvents,"rates":$rateJson,"scaling_efficiency":$effPairs,""" +
+      s"""{"events":$nEvents,"reps":$reps,"estimator":"best of reps (one-sided host noise)","isolation":"one JVM per timed replay",""" +
+        s""""rates":$rateJson,"scaling_efficiency":$effPairs,""" +
         s""""events_per_sec_headline":${f(headline)},""" +
         s""""events_per_sec_zipf1.1":${f(skewRate)}}"""
-    println(s"""{"metric":"graft cdc merge throughput (events/sec at local[${levels.mkString("],local[")}]) + operator query times","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
+    println(s"""{"metric":"graft cdc merge throughput (events/sec at local[${levels.mkString("],local[")}], best of $reps JVM-isolated reps) + operator query times","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
     // free the (possibly tmpfs) work dir
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
-      f.delete(): Unit
-    }
     rmr(new java.io.File(work))
   }
 }

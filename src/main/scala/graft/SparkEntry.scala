@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.Fns
-import graft.merge.{MergeConfig, MergeInto}
-import graft.operators.{Ann, Dedup, Multimodal, Route}
+import graft.merge.{ColumnPolicy, MergeConfig, MergeInto}
+import graft.operators.{Ann, Dedup, Edges, Multimodal, Route}
 import graft.table.LakeTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -55,6 +55,53 @@ object SparkEntry {
   private def wordsSqlOf(textExpr: String) =
     s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
 
+  /** int-array -> csv string, null elements as '' (driver-hashable scalar;
+    * identical semantics to the DuckDB side's list_transform+coalesce).
+    */
+  private def stringifyIntArray(c: Column): Column =
+    array_join(transform(c, x => coalesce(x.cast("string"), lit(""))), ",")
+
+  private val stringifyIntArraySql: String => String = e =>
+    s"array_to_string(list_transform($e, x -> coalesce(CAST(x AS VARCHAR), '')), ',')"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** The synthetic corpus carries no real-world entities, so the entity
+    * queries layer a deterministic entity-bearing suffix (email, URL,
+    * phone, UK postcode derived from doc_id) over the text — identically
+    * in Spark and the DuckDB oracle — and the extraction regexes (the
+    * reference's documented entity set, flow.xml:1140-1160) run over that.
+    */
+  private def entityText(d: DataFrame): Column =
+    concat(d("text"),
+      lit(" contact user"), (d("doc_id") % 50).cast("string"), lit("@example.org"),
+      lit(" see https://ex.org/d/"), d("doc_id").cast("string"),
+      when(d("doc_id") % 3 === 0,
+        concat(lit(" call +44 7123 4567"), lpad((d("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(lit("")),
+      when(d("doc_id") % 5 === 0,
+        concat(lit(" at EC"), (d("doc_id") % 9).cast("string"), lit("A "),
+          (d("doc_id") % 9).cast("string"), lit("BB")))
+        .otherwise(lit("")))
+
+  private val entityTextSql: String =
+    """text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.org'
+      |  || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+      |  || CASE WHEN doc_id % 3 = 0
+      |       THEN ' call +44 7123 4567' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      |       ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0
+      |       THEN ' at EC' || CAST(doc_id % 9 AS VARCHAR) || 'A '
+      |            || CAST(doc_id % 9 AS VARCHAR) || 'BB'
+      |       ELSE '' END"""
+      // flattened to ONE line: this fragment interpolates into an outer
+      // stripMargin string, which would otherwise re-strip the leading
+      // `|` of continuation-line `||` operators
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= CDC / MERGE engine =================
@@ -62,8 +109,14 @@ object SparkEntry {
     // Full engine end-to-end: events-as-changes replayed in 4 interleaved
     // micro-batches (lsn % 4 — deliberately maximal cross-batch disorder)
     // through MergeInto into a fresh LakeTable; final surviving state.
+    // The tokens array is emitted stringified (tokens_csv) because the
+    // driver harness hashes scalar columns; byte-equal raw arrays are
+    // verified in the sbt replay suites.
     "cdc_final_state" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-cdc-q").toString
+      // deterministic work dir per input, recreated each run (bounded: no
+      // temp-dir accumulation across driver invocations)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-cdc-q-${math.abs(dir.hashCode)}"
+      deleteRecursively(new java.io.File(root))
       val table = LakeTable(root)
       val changes = cdcChanges(s, dir).persist()
       try {
@@ -71,7 +124,9 @@ object SparkEntry {
           MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
             "verify", b, MergeConfig(numBuckets = 8, saltFactor = 8))
         }
-        table.read(s).select("doc_id", "tokens", "n_tok", "source", "lsn")
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("n_tok"), col("source"), col("lsn"))
           .orderBy("doc_id")
       } finally changes.unpersist()
     }),
@@ -108,6 +163,90 @@ object SparkEntry {
       Route.matchStatus(incoming, target, "doc_id")
         .select("doc_id", "n_matches", "match_status")
         .orderBy("doc_id")
+    }),
+
+    // Per-column update policy (updatereq rules): replay the upsert-only
+    // feed with source=ExcludeFromUpdate — the stored source is the one
+    // set by the insert-time event (the max-lsn event of the key's FIRST
+    // applied batch), while data columns follow the overall winner.
+    "cdc_merge_policy" -> ((s, dir) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft-cdc-pol-${math.abs(dir.hashCode)}"
+      deleteRecursively(new java.io.File(root))
+      val table = LakeTable(root)
+      val changes = cdcChanges(s, dir).filter(col("op") =!= "D").persist()
+      try {
+        (0L until 4L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "policy", b, MergeConfig(numBuckets = 8,
+              columnPolicy = Map("source" -> ColumnPolicy.ExcludeFromUpdate)))
+        }
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
+    // Fuzzy match-or-create (textContainsFuzzy): probes with deterministic
+    // single-edit typos, blocked by lang, levenshtein <= 1 decision table.
+    "match_fuzzy" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val target = d.select(concat(lit("doc-"), d("doc_id").cast("string")).as("key"),
+        d("lang").as("block"))
+      val incoming = d.filter(d("doc_id") % 7 === 0).select(
+        when(d("doc_id") % 3 === 0,
+          concat(lit("doc-"), d("doc_id").cast("string"), lit("x")))
+          .otherwise(concat(lit("doc-"), d("doc_id").cast("string"))).as("probe"),
+        d("lang").as("block"))
+      Route.matchStatusFuzzy(incoming, target, "block", "probe", "key", maxDist = 1)
+        .select("probe", "block", "n_matches", "match_status")
+        .orderBy("probe", "block")
+    }),
+
+    // CSV ingestion front door (CSVToJSONProcessor + CleanCSVHeader):
+    // events rendered to quote-aware CSV (props JSON carries quotes),
+    // deterministically corrupted every 500th line, read back PERMISSIVE
+    // with corrupt records routed to dead-letter; surviving parsed rows.
+    "csv_parse_route" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val root = s"${sys.props("java.io.tmpdir")}/graft-csv-q-${math.abs(dir.hashCode)}"
+      deleteRecursively(new java.io.File(root))
+      val ev = s.read.parquet(t(dir, "events")).filter(col("event_id") < 2000)
+      val csvOpts = Map("quote" -> "\"", "escape" -> "\"").asJava
+      val line = when(col("event_id") % 500 === 0,
+        concat(col("event_id").cast("string"), lit(","),
+          col("user_id").cast("string")))
+        .otherwise(to_csv(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value"), col("props")), csvOpts))
+      ev.select(line.as("value")).write.mode("overwrite").text(root)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      val routed = graft.sources.CsvSource.readRouted(s, root, schema, header = false)
+      routed.good
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // JSONPath-sourced template tokens (StringReplacer.replaceTokens):
+    // mixed attribute + JSONPath token expansion over the props column.
+    "template_json_expand" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      ev.select(ev("event_id"),
+        Fns.templateExpandJsonPaths("event ~~{e}~~ k=~~{$.k}~~", ev("props"),
+          Map("e" -> ev("event_type"))).as("msg"))
+        .orderBy("event_id")
+    }),
+
+    // Labeled edge emission (updatereq edges): user -> event_type edges
+    // with observation counts and LSN ranges.
+    "edges_emit" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      Edges.emit(ev, "acted",
+        concat(lit("u"), ev("user_id").cast("string")),
+        concat(lit("t-"), ev("event_type")),
+        lsn = Some(ev("event_id")))
+        .orderBy("from_id", "to_id")
     }),
 
     // ================= routing (QueryRecord / RouteOnAttribute) =========
@@ -171,12 +310,15 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // Entity extraction with the reference's documented entity regex set
+    // (email/URL/phone/postcode, flow.xml:1140-1160) over deterministic
+    // entity-bearing text; per-type matches stringified (driver-hashable).
     "regex_entity_extract" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
-      d.select(d("doc_id"),
-        regexp_extract_all(d("text"), lit("\\b(spark|join|merge|filter)\\b"), lit(1))
-          .as("entities"))
-        .withColumn("n_entities", size(col("entities")))
+      val ents = Fns.extractEntities(entityText(d))
+      d.select((d("doc_id") +: ents.map { case (n, c) =>
+          array_join(c, "|").as(s"${n}s")
+        }) :+ ents.map { case (_, c) => size(c) }.reduce(_ + _).as("n_entities"): _*)
         .orderBy("doc_id")
     }),
 
@@ -260,9 +402,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact cosine pair join (planes=0): DuckDB-oracle-checked baseline.
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingCosine(s.read.parquet(t(dir, "embeddings")),
-        threshold = 0.5, planes = 8)
+        threshold = 0.3, planes = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The scale path: hyperplane-bucketed with single-bit multi-probe.
+    // Approximate by construction (rows-only here; recall vs the exact
+    // path is gated in DedupSpec).
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingCosine(s.read.parquet(t(dir, "embeddings")),
+        threshold = 0.3, planes = 8, multiProbe = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -308,8 +460,10 @@ object SparkEntry {
             (lit(1).cast("decimal(18,4)") - li("l_discount").cast("decimal(18,4)")))
             .cast("decimal(28,8)")).as("revenue"),
           count(lit(1)).as("n_items"))
-        // products of 2dp x 2dp are exact at 4dp: scale-4 cast loses nothing
-        .withColumn("revenue", col("revenue").cast("decimal(28,4)"))
+        // products of 2dp x 2dp are exact at 4dp; the final cast to DOUBLE
+        // (after the exact decimal aggregation) hashes identically across
+        // the Spark and DuckDB parquet readers
+        .withColumn("revenue", col("revenue").cast("decimal(28,4)").cast("double"))
         .orderBy("n_name")
     }),
 
@@ -325,9 +479,13 @@ object SparkEntry {
 
     "agg_events_daily" -> ((s, dir) => {
       val ev = s.read.parquet(t(dir, "events"))
-      ev.groupBy(date_trunc("day", ev("ts")).as("day"), ev("event_type"))
+      // day as DATE (not the TIMESTAMP date_trunc returns) and the exact
+      // decimal sum cast to DOUBLE: both representations hash identically
+      // across Spark and DuckDB parquet writers (values are exact at 2dp,
+      // so the double is bit-stable)
+      ev.groupBy(to_date(ev("ts")).as("day"), ev("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(ev("value").cast("decimal(18,2)")).as("total_value"))
+          sum(ev("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("day", "event_type")
     }),
 
@@ -375,7 +533,8 @@ object SparkEntry {
          |latest AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
          |  FROM changes)
-         |SELECT doc_id, tokens, n_tok, source, lsn
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
          |FROM latest WHERE rn = 1 AND op <> 'D'
          |ORDER BY doc_id""".stripMargin,
 
@@ -412,6 +571,67 @@ object SparkEntry {
          |            WHEN n_matches = 0 THEN 'NO_MATCH'
          |            ELSE 'MULTIPLE' END AS match_status
          |FROM counted ORDER BY doc_id""".stripMargin,
+
+    "cdc_merge_policy" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |u AS (SELECT *, lsn % 4 AS batch FROM changes WHERE op <> 'D'),
+         |winner AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM u),
+         |firstb AS (SELECT doc_id, min(batch) AS fb FROM u GROUP BY doc_id),
+         |ins AS (
+         |  SELECT u.doc_id, u.source,
+         |         row_number() OVER (PARTITION BY u.doc_id ORDER BY u.lsn DESC) AS rn
+         |  FROM u JOIN firstb f ON u.doc_id = f.doc_id AND u.batch = f.fb)
+         |SELECT w.doc_id, ${stringifyIntArraySql("w.tokens")} AS tokens_csv,
+         |       i.source AS source, w.lsn
+         |FROM winner w JOIN ins i ON w.doc_id = i.doc_id AND i.rn = 1
+         |WHERE w.rn = 1
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "match_fuzzy" ->
+      """WITH target AS (
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key, lang AS block
+        |  FROM documents),
+        |inc AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0
+        |              THEN 'doc-' || CAST(doc_id AS VARCHAR) || 'x'
+        |              ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS probe,
+        |         lang AS block
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |counted AS (
+        |  SELECT i.probe, i.block, count(t.key) AS n_matches
+        |  FROM inc i LEFT JOIN target t
+        |    ON i.block = t.block AND levenshtein(i.probe, t.key) <= 1
+        |  GROUP BY i.probe, i.block)
+        |SELECT probe, block, n_matches,
+        |       CASE WHEN n_matches = 1 THEN 'MATCH'
+        |            WHEN n_matches = 0 THEN 'NO_MATCH'
+        |            ELSE 'MULTIPLE' END AS match_status
+        |FROM counted ORDER BY probe, block""".stripMargin,
+
+    "csv_parse_route" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE event_id < 2000 AND event_id % 500 <> 0
+        |ORDER BY event_id""".stripMargin,
+
+    "template_json_expand" ->
+      """SELECT event_id,
+        |  'event ' || event_type || ' k=' ||
+        |    coalesce(json_extract_string(props, '$.k'), '') AS msg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "edges_emit" ->
+      """SELECT 'acted' AS edge_label,
+        |  'u' || CAST(user_id AS VARCHAR) AS from_id,
+        |  't-' || event_type AS to_id,
+        |  count(*) AS n_obs,
+        |  min(event_id) AS min_lsn, max(event_id) AS max_lsn
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY from_id, to_id""".stripMargin,
 
     "route_filter" ->
       """SELECT event_id, user_id, value FROM events
@@ -456,11 +676,21 @@ object SparkEntry {
         |  '{"n_name":"' || n_name || '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS j
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
-    "regex_entity_extract" ->
-      """SELECT doc_id,
-        |  regexp_extract_all(text, '\b(spark|join|merge|filter)\b', 1) AS entities,
-        |  CAST(len(regexp_extract_all(text, '\b(spark|join|merge|filter)\b', 1)) AS INTEGER) AS n_entities
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "regex_entity_extract" -> {
+      val perType = Fns.entityPatterns.map { case (n, p) =>
+        // coalesce: DuckDB stringifies an empty match list to NULL where
+        // Spark's array_join gives ''
+        s"coalesce(array_to_string(regexp_extract_all(etext, '$p'), '|'), '') AS ${n}s"
+      }.mkString(",\n  ")
+      val counts = Fns.entityPatterns.map { case (_, p) =>
+        s"len(regexp_extract_all(etext, '$p'))"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT doc_id, $entityTextSql AS etext FROM documents)
+         |SELECT doc_id,
+         |  $perType,
+         |  CAST($counts AS INTEGER) AS n_entities
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
 
     "regex_replace_norm" ->
       """SELECT doc_id,
@@ -548,6 +778,21 @@ object SparkEntry {
          |SELECT id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY id""".stripMargin
     },
 
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE)) AS dot,
+        |    sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE))) AS na,
+        |    sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+        |      i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE))) AS nb
+        |  FROM v a JOIN v b ON a.id < b.id)
+        |SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
+        |FROM p WHERE round(dot / (na * nb), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
@@ -577,9 +822,9 @@ object SparkEntry {
 
     "join_revenue_by_nation" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-        |       AS DECIMAL(28,4)) AS revenue,
+        |       AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -596,8 +841,8 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
 
     "agg_events_daily" ->
-      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "agg_rollup_docs" ->

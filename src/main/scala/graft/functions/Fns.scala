@@ -36,6 +36,33 @@ object Fns {
     if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
   }
 
+  /** Expand a template whose tokens are JSONPaths resolved against a JSON
+    * column — the reference's JSONPath-sourced token replacement
+    * (`StringReplacer.java:198-295`: `parseJSONPaths` +
+    * `replaceTokens(JsonPath)`). Token syntax `~~{$.a.b}~~`; non-JSONPath
+    * tokens (no `$` prefix) resolve from `bindings` as in
+    * [[templateExpand]]. Missing paths render as empty string (the
+    * reference's Path-Not-Found = ignore behavior).
+    */
+  def templateExpandJsonPaths(template: String, json: Column,
+      bindings: Map[String, Column] = Map.empty): Column = {
+    val re = "~~\\{([^}]+)\\}~~".r
+    val parts = re.split(template)
+    val tokens = re.findAllMatchIn(template).map(_.group(1)).toSeq
+    val pieces = new scala.collection.mutable.ArrayBuffer[Column]
+    (0 until math.max(parts.length, tokens.length)).foreach { i =>
+      if (i < parts.length && parts(i).nonEmpty) pieces += lit(parts(i))
+      if (i < tokens.length) {
+        val tok = tokens(i)
+        val v =
+          if (tok.startsWith("$")) get_json_object(json, tok)
+          else bindings.getOrElse(tok, lit(s"~~{$tok}~~"))
+        pieces += coalesce(v.cast("string"), lit(""))
+      }
+    }
+    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+  }
+
   // ---- record serialization (reference CSVToJSONProcessor.java:30-256) --
 
   /** One CSV-ish record -> JSON object of all columns (the C12 conversion,
@@ -67,6 +94,29 @@ object Fns {
     }
     c => u(c)
   }
+
+  // ---- entity extraction (reference PontusNLPProcessor; the concrete
+  // regex entity set documented in the production flow's Gremlin query
+  // comment block, flow.xml:1140-1160: email/URL/phone/postcode/...) ------
+
+  /** Entity type -> extraction regex. RE2-safe subset (no lookarounds, no
+    * backrefs) so the identical pattern runs in Java regex (Spark) and
+    * DuckDB/RE2 oracles.
+    */
+  val entityPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "url" -> "https?://[A-Za-z0-9./_-]+",
+    "phone" -> "\\+[0-9]{2} [0-9]{4} [0-9]{6}",
+    "postcode" -> "[A-Z]{1,2}[0-9][A-Z]? [0-9][A-Z]{2}")
+
+  /** All matches per entity type: one `array<string>` column per type,
+    * codegen'd `regexp_extract_all` (set-oriented form of the reference's
+    * per-record NLP loop).
+    */
+  def extractEntities(text: Column): Seq[(String, Column)] =
+    entityPatterns.map { case (name, pat) =>
+      name -> regexp_extract_all(text, lit(pat), lit(0))
+    }
 
   // ---- text analysis ---------------------------------------------------
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -17,6 +17,11 @@ object Registry {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API handle for the native hyperplane-LSH bucket expression. */
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long, dim: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(
+      ColumnBridge.expression(v), planes, seed, dim))
 
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -41,6 +41,24 @@ final case class MergeResult(
   *                     measured crossover is a few 100k rows (driver-side
   *                     broadcast build is serial; see BENCH.md).
   */
+/** Per-column update policy — the reference's declarative `updatereq`
+  * per-property rules (`flow.xml:1163-1307`: `excludeFromUpdate`,
+  * coalescing post-processors). Applies only to a genuine UPDATE of a
+  * live row; inserts (and re-inserts over a tombstone) always take the
+  * incoming value.
+  */
+sealed trait ColumnPolicy
+object ColumnPolicy {
+  /** Default: winning change overwrites the stored value. */
+  case object Overwrite extends ColumnPolicy
+  /** Value is fixed at insert time; updates never touch it
+    * (`excludeFromUpdate` in the updatereq rule doc).
+    */
+  case object ExcludeFromUpdate extends ColumnPolicy
+  /** A null incoming value keeps the stored one (sparse updates). */
+  case object CoalesceExisting extends ColumnPolicy
+}
+
 final case class MergeConfig(
     numBuckets: Int = 32,
     saltFactor: Int = 0,
@@ -48,7 +66,13 @@ final case class MergeConfig(
     lineageDir: Option[String] = None,
     deadLetterDir: Option[String] = None,
     commitRetries: Int = 3,
-    preCommitHook: () => Unit = () => ())
+    preCommitHook: () => Unit = () => (),
+    columnPolicy: Map[String, ColumnPolicy] = Map.empty,
+    /** Newest ledger entries kept per checkpoint; older ones fold into the
+      * manifest's batch floor (exact idempotence at O(retention) manifest
+      * bytes — see [[graft.table.Manifest]]).
+      */
+    ledgerRetention: Int = 1024)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -176,25 +200,29 @@ object MergeInto {
     // (null key / null lsn / unknown op) divert to a quarantine table at a
     // deterministic per-batch path (idempotent overwrite) instead of
     // corrupting the merge
+    // `good` is two-valued by construction (coalesce over the three-valued
+    // op membership test): a null op must land in the rejects, not vanish
+    // from both sides of the split
     val batch = cfg.deadLetterDir match {
       case None => batch0
       case Some(dir) =>
-        val bad = !col("doc_id").isNotNull || !col("lsn").isNotNull ||
-          !col("op").isInCollection(Ops.all)
-        val rejects = batch0.filter(bad)
+        val good = col("doc_id").isNotNull && col("lsn").isNotNull &&
+          coalesce(col("op").isInCollection(Ops.all), lit(false))
+        val rejects = batch0.filter(!good)
         if (!rejects.isEmpty)
           rejects.write.mode("overwrite")
             .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
-        batch0.filter(!bad)
+        batch0.filter(good)
     }
 
     val current = table.currentManifestOpt()
 
     // -- 0. idempotence: replayed batch => no-op ------------------------
     val ledgerKey = s"$checkpointId/$batchId"
-    current.flatMap(_.ledger.get(ledgerKey)) match {
-      case Some(snap) =>
-        return MergeResult(snap, current.get.version, Nil, skipped = true)
+    current.filter(_.isCommitted(checkpointId, batchId)) match {
+      case Some(m) =>
+        val snap = m.snapshotIdOf(checkpointId, batchId).getOrElse(m.snapshotId)
+        return MergeResult(snap, m.version, Nil, skipped = true)
       case None => ()
     }
 
@@ -226,7 +254,7 @@ object MergeInto {
     if (touched.isEmpty) {
       // empty batch: still record the ledger entry (exactly-once bookkeeping)
       return commitManifest(table, current, evolved, numBuckets,
-        current.map(_.files).getOrElse(Nil), ledgerKey, Nil)
+        current.map(_.files).getOrElse(Nil), ledgerKey, Nil, cfg.ledgerRetention)
     }
     // conservative broadcast decision: raw count >= deduped count
     val rawRows = batchStats.valuesIterator.map(_._1).sum
@@ -276,10 +304,21 @@ object MergeInto {
         .when(isDelete, lit("delete_noop"))
         .when(hasT && !wasTombstone, lit("update"))
         .otherwise(lit("insert"))
+      // genuine UPDATE of a live row — the only case column policies gate
+      val genuineUpdate = changeWins && hasT && !wasTombstone && !isDelete
+      def valueOf(c: String): Column = {
+        val base = when(changeWins, col(s"c.$c")).otherwise(col(s"t.$c"))
+        cfg.columnPolicy.getOrElse(c, ColumnPolicy.Overwrite) match {
+          case ColumnPolicy.Overwrite => base
+          case ColumnPolicy.ExcludeFromUpdate =>
+            when(genuineUpdate, col(s"t.$c")).otherwise(base)
+          case ColumnPolicy.CoalesceExisting =>
+            when(genuineUpdate, coalesce(col(s"c.$c"), col(s"t.$c"))).otherwise(base)
+        }
+      }
       joined.select(
         (coalesce(col("t.doc_id"), col("c.doc_id")).as("doc_id") +:
-          dataCols.map(c =>
-            when(changeWins, col(s"c.$c")).otherwise(col(s"t.$c")).as(c)) :+
+          dataCols.map(c => valueOf(c).as(c)) :+
           when(changeWins, isDelete)
             .otherwise(coalesce(col(s"t.$TOMBSTONE"), lit(false))).as(TOMBSTONE) :+
           status.as("_status")): _*)
@@ -325,52 +364,54 @@ object MergeInto {
 
     val merged = mergedFlat.withColumn("_bucket", bucketOf(col("doc_id")))
 
-    // -- 6/7. single pass: per-bucket status counters + survivor row
-    // counts + LSN ranges ride the WRITE job as observed metrics (no
-    // second scan, no persist). Buckets are bounded (numBuckets), so the
-    // flattened per-bucket conditional sums stay a modest expression list.
+    // -- 6. write the merged buckets, KEEPING the _status column in the
+    // staged files. Table reads are schema-first (explicit StructType), so
+    // the extra column is pruned for free on every later scan; its cost is
+    // ~1 dictionary-encoded byte/row once. This replaces the previous
+    // design (per-bucket status counters as an Observation riding the
+    // write): 8 metrics x numBuckets flat conditional aggregates made a
+    // 256-expression CollectMetrics whose analysis + janino codegen
+    // recompiled EVERY batch (path literals change) — measured ~5 s of
+    // serial driver time per batch, the Amdahl term that capped 2->8
+    // scaling at ~0.5 (see BENCH.md round 2).
     val bucketIds = touched.toSeq.sorted
-    val obs = new org.apache.spark.sql.Observation(s"merge-$ledgerKey")
-    val metricCols: Seq[Column] = bucketIds.flatMap { b =>
-      val inB = col("_bucket") === b
-      def st(s: String) = sum(when(inB && col("_status") === s, 1L).otherwise(0L))
-      Seq(
-        sum(when(inB, 1L).otherwise(0L)).as(s"n_$b"),
-        min(when(inB, col("lsn"))).as(s"minL_$b"),
-        max(when(inB, col("lsn"))).as(s"maxL_$b"),
-        st("insert").as(s"nI_$b"),
-        st("update").as(s"nU_$b"),
-        st("delete").as(s"nD_$b"),
-        st("delete_noop").as(s"nDn_$b"),
-        st("stale").as(s"nS_$b"))
-    }
-
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)
     timed("merge-write")(merged
-      .observe(obs, metricCols.head, metricCols.tail: _*)
       .repartition(touched.size.max(1), col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
-      .drop("_status")
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
-    val m = obs.get
-    def mLong(k: String): Long = m.get(k) match {
-      case Some(v: Number) => v.longValue
-      case _ => 0L
-    }
+    // -- 7. per-bucket lineage stats from a COLUMNAR READ-BACK of the
+    // staged output (reads only _bucket/_status/lsn; <= numBuckets result
+    // rows; a fixed small plan that hits the codegen cache across batches)
+    val statRows = timed("lineage-readback")(spark.read.parquet(staging)
+      .groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("lsn").as("minL"), max("lsn").as("maxL"),
+        sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
+        sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
+        sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
+        sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
+        sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
+      .collect())
+      .map(r => r.getInt(0) -> r).toMap
 
     val outStats = bucketIds.map { b =>
-      b -> ((mLong(s"n_$b"), mLong(s"minL_$b"), mLong(s"maxL_$b")))
+      val s = statRows.get(b)
+      b -> ((s.map(_.getLong(1)).getOrElse(0L),
+        s.map(_.getLong(2)).getOrElse(Long.MaxValue),
+        s.map(_.getLong(3)).getOrElse(Long.MinValue)))
     }.toMap
     val newFiles = timed("enumerate-staged")(table.enumerateStaged(staging, outStats))
 
     val snapshotId = UUID.randomUUID().toString
     val lineage = bucketIds.map { b =>
       val (nRaw, minL, maxL) = batchStats(b)
-      val (nI, nU, nD, nDn, nS) =
-        (mLong(s"nI_$b"), mLong(s"nU_$b"), mLong(s"nD_$b"),
-          mLong(s"nDn_$b"), mLong(s"nS_$b"))
+      val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
+        case Some(r) => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+        case None => (0L, 0L, 0L, 0L, 0L)
+      }
       // rows that carried a change = the batch's distinct keys
       val nKeys = nI + nU + nD + nDn + nS
       graft.model.LineageRow(
@@ -397,7 +438,8 @@ object MergeInto {
 
     cfg.preCommitHook()
     commitManifest(table, current, evolved, numBuckets,
-      keptFiles ++ newFiles, ledgerKey, lineage, snapshotId, nextVersion)
+      keptFiles ++ newFiles, ledgerKey, lineage, cfg.ledgerRetention,
+      snapshotId, nextVersion)
   }
 
   private def commitManifest(
@@ -408,11 +450,16 @@ object MergeInto {
       files: Seq[FileEntry],
       ledgerKey: String,
       lineage: Seq[graft.model.LineageRow],
+      ledgerRetention: Int = 1024,
       snapshotId: String = UUID.randomUUID().toString,
       versionOverride: Long = -1L): MergeResult = {
     val version =
       if (versionOverride >= 0) versionOverride
       else current.map(_.version + 1).getOrElse(0L)
+    val rawLedger =
+      current.map(_.ledger).getOrElse(Map.empty) + (ledgerKey -> snapshotId)
+    val (ledger, floor) = Manifest.compactLedger(rawLedger,
+      current.map(_.floorBatch).getOrElse(Map.empty), ledgerRetention.max(1))
     val m = Manifest(
       version = version,
       snapshotId = snapshotId,
@@ -420,7 +467,8 @@ object MergeInto {
       schemaJson = schema.json,
       numBuckets = numBuckets,
       files = files,
-      ledger = current.map(_.ledger).getOrElse(Map.empty) + (ledgerKey -> snapshotId))
+      ledger = ledger,
+      floorBatch = floor)
     table.commit(m)
     MergeResult(snapshotId, version, lineage, skipped = false)
   }

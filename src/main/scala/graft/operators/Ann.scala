@@ -13,27 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic pseudo-random hyperplane component for (seed, plane p,
-    * dimension d): a zero-mean value derived from xxhash64 — broadcast-free
-    * and identical on every executor.
+  /** Sign-bit bucket of `v` under `planes` random hyperplanes — the
+    * native codegen'd expression
+    * ([[graft.functions.expressions.HyperplaneBucket]]). The previous
+    * `aggregate`/`zip_with`-per-plane Column formulation evaluated
+    * planes x dim interpreted higher-order calls per row (the pattern
+    * measured ~80x slower on cosine); [[hyperplaneBucketColumns]] keeps
+    * it for the parity test.
     */
-  private def planeComponent(p: Int, d: Int, seed: Long): Double = {
-    // splitmix-style mix, mapped to [-0.5, 0.5)
-    var x = seed + p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x = x ^ (x >>> 31)
-    ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-  }
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long, dim: Int): Column =
+    graft.functions.Registry.hyperplaneBucket(v, planes, seed, dim)
 
-  /** Sign-bit bucket of `v` under `planes` random hyperplanes. Pure column
-    * expression (no UDF): dot product per plane via `aggregate`, sign bits
-    * packed into a long.
+  /** Interpreted reference formulation of [[hyperplaneBucket]] (identical
+    * component function and bit packing); used to cross-check the native
+    * expression.
     */
-  def hyperplaneBucket(v: Column, planes: Int, seed: Long, dim: Int): Column = {
+  private[graft] def hyperplaneBucketColumns(
+      v: Column, planes: Int, seed: Long, dim: Int): Column = {
     require(planes <= 63, "at most 63 hyperplanes")
+    import graft.functions.expressions.HyperplaneBucket.component
     val bits = (0 until planes).map { p =>
-      val comps = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+      val comps = array((0 until dim).map(d => lit(component(p, d, seed))): _*)
       val dot = aggregate(zip_with(v, comps, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))

@@ -109,9 +109,15 @@ object Dedup {
     * self-join + aggregate per round, no driver-side graph.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. MATERIALIZED once
+    // (localCheckpoint is both a persist and a lineage cut): every
+    // propagation round joins against `edges`, and without this each of
+    // the maxIter jobs re-executes the upstream pair pipeline (for
+    // Jaccard pairs that is the expensive shingle self-join — measured
+    // 113.9 s -> the persisted loop at sf0.1; see BENCH.md round 2).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var i = 0
@@ -143,19 +149,35 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine >= threshold. Brute-force
     * within LSH buckets (random-hyperplane sign bits) so the cross-join is
     * bucket-local; `planes = 0` falls back to the full O(n^2) pair join
-    * (small corpora / oracle checks).
+    * (exact — the oracle for the bucketed path). With `multiProbe` the
+    * left side also probes every single-bit-flip neighbor bucket (the
+    * `Ann.lshTopK` pattern), so a true pair straddling one hyperplane is
+    * still found — recall against the exact path is gated in tests.
     */
   def embeddingCosine(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.9,
-      planes: Int = 0, seed: Long = 42L, dim: Int = 64): DataFrame = {
+      planes: Int = 0, seed: Long = 42L, dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withKey =
-      if (planes <= 0) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket", Ann.hyperplaneBucket(col("v"), planes, seed, dim))
-    withKey.as("a").join(withKey.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    if (planes <= 0) {
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      val withKey = base.withColumn("bucket",
+        Ann.hyperplaneBucket(col("v"), planes, seed, dim))
+      val probed =
+        if (!multiProbe) withKey
+        else withKey.select(col("id"), col("v"), explode(
+          array((col("bucket") +: (0 until planes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+      probed.as("a").join(withKey.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= threshold)
+    }
   }
 }

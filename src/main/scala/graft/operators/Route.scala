@@ -19,20 +19,24 @@ object Route {
     routes.map { case (name, pred) => name -> df.filter(pred) }
 
   /** Rows matching none of the routes (the reference's `unmatched`
-    * relationship).
+    * relationship). Each predicate is coalesced to false so a NULL-valued
+    * predicate counts as "did not match" — every row lands on exactly one
+    * relationship, like the reference's RouteOnAttribute, instead of
+    * disappearing into three-valued logic.
     */
   def unmatched(df: DataFrame, routes: Map[String, Column]): DataFrame =
     if (routes.isEmpty) df
-    else df.filter(!routes.values.reduce(_ || _))
+    else df.filter(!routes.values.map(p => coalesce(p, lit(false))).reduce(_ || _))
 
   /** Single-pass route tagging: adds a `route` column with the FIRST
     * matching route name in `routes` order (deterministic priority), or
-    * 'unmatched'. Preferred at scale when downstream wants one shuffle
-    * instead of N scans.
+    * 'unmatched' (NULL predicates tag as unmatched, not dropped).
+    * Preferred at scale when downstream wants one shuffle instead of N
+    * scans.
     */
   def tagged(df: DataFrame, routes: Seq[(String, Column)]): DataFrame = {
     val tag = routes.foldRight(lit("unmatched")) { case ((name, pred), els) =>
-      when(pred, lit(name)).otherwise(els)
+      when(coalesce(pred, lit(false)), lit(name)).otherwise(els)
     }
     df.withColumn("route", tag)
   }
@@ -48,6 +52,36 @@ object Route {
     val counts = target.groupBy(col(key)).agg(count(lit(1)).as("n_matches"))
     incoming.join(counts, Seq(key), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("match_status",
+        when(col("n_matches") === 1, lit("MATCH"))
+          .when(col("n_matches") === 0, lit("NO_MATCH"))
+          .otherwise(lit("MULTIPLE")))
+  }
+
+  /** Fuzzy match-or-create: the reference's `textContainsFuzzy` upsert
+    * predicate (`flow.xml:1175`, `mandatoryInSearch` rules) — candidates
+    * are BLOCKED by an exact key first (the rule doc's mandatory exact
+    * search props), then matched by edit distance within the block. Never
+    * all-pairs: the join is an equi-join on the block key, with the
+    * levenshtein predicate applied inside each block (Spark's
+    * threshold-bounded levenshtein abandons early above `maxDist`).
+    *
+    * Returns one row per incoming row with `n_matches` and the
+    * PontusIdGenerator decision (`MATCH` / `NO_MATCH` / `MULTIPLE`,
+    * `PontusIdGenerator.java:308-329`).
+    */
+  def matchStatusFuzzy(incoming: DataFrame, target: DataFrame,
+      blockKey: String, incomingKey: String, targetKey: String,
+      maxDist: Int): DataFrame = {
+    val inc = incoming.select(col(blockKey).as("_block"), col(incomingKey))
+    val tgt = target.select(col(blockKey).as("_block"), col(targetKey))
+    val joined = inc.join(tgt,
+      inc("_block") === tgt("_block") &&
+        levenshtein(col(incomingKey), col(targetKey), maxDist).between(0, maxDist),
+      "left")
+    joined
+      .groupBy(col(incomingKey), inc("_block").as(blockKey))
+      .agg(count(col(targetKey)).as("n_matches"))
       .withColumn("match_status",
         when(col("n_matches") === 1, lit("MATCH"))
           .when(col("n_matches") === 0, lit("NO_MATCH"))

@@ -33,6 +33,14 @@ final case class FileEntry(
   * at-least-once commit/rollback, `PontusIdGenerator.java:361-378`,
   * modeled on the version-checked ZK update in
   * `JWTStoreClientProcessor.java:165-168`).
+  *
+  * The ledger is RETAINED, not unbounded: at 10^5+ micro-batches a full
+  * per-batch map would make every commit rewrite O(all history) (O(n^2)
+  * cumulative commit I/O). Older entries compact into `floorBatch`
+  * (checkpointId -> highest compacted-away batchId); because a stream
+  * engine assigns batchIds monotonically per checkpoint, any batchId at
+  * or below the floor is by construction already committed, so the
+  * idempotence decision stays exact with O(retention) manifest bytes.
   */
 final case class Manifest(
     version: Long,
@@ -41,8 +49,46 @@ final case class Manifest(
     schemaJson: String,
     numBuckets: Int,
     files: Seq[FileEntry],
-    ledger: Map[String, String]) {
+    ledger: Map[String, String],
+    floorBatch: Map[String, Long] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Was (checkpointId, batchId) already committed? Exact under the
+    * monotonic-batchId invariant; `snapshotIdOf` is only known for
+    * entries still inside the retention window.
+    */
+  def isCommitted(checkpointId: String, batchId: Long): Boolean =
+    ledger.contains(s"$checkpointId/$batchId") ||
+      floorBatch.get(checkpointId).exists(batchId <= _)
+
+  def snapshotIdOf(checkpointId: String, batchId: Long): Option[String] =
+    ledger.get(s"$checkpointId/$batchId")
+}
+
+object Manifest {
+  /** Compact `ledger` down to at most `retention` newest batchIds per
+    * checkpoint, folding everything older into the floor map.
+    */
+  def compactLedger(ledger: Map[String, String], floor: Map[String, Long],
+      retention: Int): (Map[String, String], Map[String, Long]) = {
+    val parsed = ledger.toSeq.map { case (k, v) =>
+      val i = k.lastIndexOf('/')
+      (k.substring(0, i), k.substring(i + 1).toLong, k, v)
+    }
+    val byCp = parsed.groupBy(_._1)
+    val kept = Map.newBuilder[String, String]
+    var newFloor = floor
+    byCp.foreach { case (cp, entries) =>
+      val sorted = entries.sortBy(-_._2)
+      sorted.take(retention).foreach(e => kept += (e._3 -> e._4))
+      val dropped = sorted.drop(retention)
+      if (dropped.nonEmpty) {
+        val hi = dropped.map(_._2).max
+        newFloor = newFloor.updated(cp, newFloor.getOrElse(cp, Long.MinValue).max(hi))
+      }
+    }
+    (kept.result(), newFloor)
+  }
 }
 
 /** Thrown when a CAS commit loses the race (another writer committed the
@@ -130,10 +176,15 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   }
 
   /** Already-committed snapshot for this (checkpointId, batchId), if any —
-    * the idempotence lookup done at the top of every foreachBatch.
+    * the idempotence lookup done at the top of every foreachBatch. A batch
+    * compacted below the ledger floor reports the CURRENT snapshot (it is
+    * committed; its own snapshot id is outside the retention window).
     */
   def committedSnapshot(checkpointId: String, batchId: Long): Option[String] =
-    currentManifestOpt().flatMap(_.ledger.get(s"$checkpointId/$batchId"))
+    currentManifestOpt().flatMap { m =>
+      m.snapshotIdOf(checkpointId, batchId)
+        .orElse(if (m.isCommitted(checkpointId, batchId)) Some(m.snapshotId) else None)
+    }
 
   // ---- data files ------------------------------------------------------
 

@@ -83,6 +83,12 @@ object Maintenance {
     * `retainFromVersion` (orphans from lost CAS races or superseded
     * snapshots). Returns the deleted paths. Time-travel to versions below
     * the horizon stops working — that is the point.
+    *
+    * Concurrent-writer safety: staging directories for versions ABOVE the
+    * current committed version (`data/s<v>` with v > current) belong to
+    * in-flight merges that may yet win their CAS — their files are never
+    * touched, so vacuum can run alongside writers. (The same guard an
+    * Iceberg orphan-file sweep gets from a minimum file age.)
     */
   def vacuum(table: LakeTable, retainFromVersion: Long): Seq[String] = {
     val conf = table.conf
@@ -98,15 +104,24 @@ object Maintenance {
       }.toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Nil
-    val it = fs.listFiles(dataDir, true)
+    // only sweep staging dirs of committed versions: s<v> with v <= current
+    val committedStaging = fs.listStatus(dataDir).toIndexedSeq
+      .filter(_.isDirectory)
+      .filter { d =>
+        val n = d.getPath.getName
+        n.startsWith("s") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= current
+      }
     val deleted = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val p = Path.getPathWithoutSchemeAndAuthority(st.getPath).toString
-        if (!live.contains(p)) {
-          fs.delete(st.getPath, false)
-          deleted += p
+    committedStaging.foreach { sd =>
+      val it = fs.listFiles(sd.getPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val p = Path.getPathWithoutSchemeAndAuthority(st.getPath).toString
+          if (!live.contains(p)) {
+            fs.delete(st.getPath, false)
+            deleted += p
+          }
         }
       }
     }
