@@ -262,19 +262,31 @@ object Bench {
         s.stop()
       }
 
-      // interleave reps across levels so host drift is shared evenly
-      val runs = for (r <- 1 to reps; l <- levels) yield (r, l)
-      val results = runs.map { case (r, l) =>
-        val tag = s"$l-$r"
-        val res = runLevel(l, work, s"$work/feed", s"$work/feed-warm", tag)
-        log(f"local[$l] rep$r: ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s " +
+      // interleave reps across levels so host drift is shared evenly;
+      // the Zipf-skew replay joins the rotation at the top level so it
+      // gets the same best-of-reps treatment
+      val skewLevel = levels.max
+      val runs = for {
+        r <- 1 to reps
+        l <- levels.map(Some(_)) ++ (if (doSkew) Seq(None) else Nil)
+      } yield (r, l)
+      val results = runs.map { case (r, lOpt) =>
+        val (l, feedDir, tag, label) = lOpt match {
+          case Some(l) => (l, s"$work/feed", s"$l-$r", s"local[$l]")
+          case None => (skewLevel, s"$work/feed-skew", s"skew-$r", s"zipf local[$skewLevel]")
+        }
+        val res = runLevel(l, work, feedDir, s"$work/feed-warm", tag)
+        log(f"$label rep$r: ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s " +
           f"(warm ${res.warmSec}%.1f s, gc ${res.gcMs} ms, jit ${res.jitMs} ms)")
         // free the per-run table + shuffle dirs immediately (bounds tmpfs)
         Seq(s"t-$tag", s"t-warm-$tag", s"t-warm2-$tag", s"spark-local-$tag")
           .foreach(d => rmr(new java.io.File(s"$work/$d")))
-        l -> res
+        (lOpt, res)
       }
-      repsByLevel = results.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      skewRate = results.collect { case (None, res) => nEvents / res.sec }
+        .maxOption.getOrElse(0.0)
+      repsByLevel = results.collect { case (Some(l), res) => (l, res) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       // best-of-reps per level: external host contention on this box is
       // one-sided noise (measured: the same replay varies 3x between
       // quiet and loaded minutes), so the fastest rep is the closest
@@ -285,14 +297,6 @@ object Bench {
         l -> ((nEvents / sec, sec))
       }
 
-      // skew sensitivity at the top level (own child JVM)
-      skewRate = if (!doSkew) 0.0 else {
-        val top = levels.max
-        val res = runLevel(top, work, s"$work/feed-skew", s"$work/feed-warm",
-          s"skew-$top")
-        log(f"zipf skew local[$top]: ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s")
-        nEvents / res.sec
-      }
     }
 
     // ---- phase 2: headline operator queries ---------------------------

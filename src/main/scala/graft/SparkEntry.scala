@@ -69,6 +69,18 @@ object SparkEntry {
     f.delete(): Unit
   }
 
+  /** Scratch root for queries that materialize a LakeTable: tmpfs when
+    * available (a CDC query's table I/O should measure the engine, not
+    * the single local disk), recreated per run (bounded).
+    */
+  private def scratchDir(prefix: String, dir: String): String = {
+    val base = Some("/dev/shm").filter(d => new java.io.File(d).canWrite)
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val root = s"$base/$prefix-${math.abs(dir.hashCode)}"
+    deleteRecursively(new java.io.File(root))
+    root
+  }
+
   /** The synthetic corpus carries no real-world entities, so the entity
     * queries layer a deterministic entity-bearing suffix (email, URL,
     * phone, UK postcode derived from doc_id) over the text — identically
@@ -113,11 +125,7 @@ object SparkEntry {
     // driver harness hashes scalar columns; byte-equal raw arrays are
     // verified in the sbt replay suites.
     "cdc_final_state" -> ((s, dir) => {
-      // deterministic work dir per input, recreated each run (bounded: no
-      // temp-dir accumulation across driver invocations)
-      val root = s"${sys.props("java.io.tmpdir")}/graft-cdc-q-${math.abs(dir.hashCode)}"
-      deleteRecursively(new java.io.File(root))
-      val table = LakeTable(root)
+      val table = LakeTable(scratchDir("graft-cdc-q", dir))
       val changes = cdcChanges(s, dir).persist()
       try {
         (0L until 4L).foreach { b =>
@@ -170,9 +178,7 @@ object SparkEntry {
     // set by the insert-time event (the max-lsn event of the key's FIRST
     // applied batch), while data columns follow the overall winner.
     "cdc_merge_policy" -> ((s, dir) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft-cdc-pol-${math.abs(dir.hashCode)}"
-      deleteRecursively(new java.io.File(root))
-      val table = LakeTable(root)
+      val table = LakeTable(scratchDir("graft-cdc-pol", dir))
       val changes = cdcChanges(s, dir).filter(col("op") =!= "D").persist()
       try {
         (0L until 4L).foreach { b =>
@@ -209,8 +215,7 @@ object SparkEntry {
     // with corrupt records routed to dead-letter; surviving parsed rows.
     "csv_parse_route" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
-      val root = s"${sys.props("java.io.tmpdir")}/graft-csv-q-${math.abs(dir.hashCode)}"
-      deleteRecursively(new java.io.File(root))
+      val root = scratchDir("graft-csv-q", dir)
       val ev = s.read.parquet(t(dir, "events")).filter(col("event_id") < 2000)
       val csvOpts = Map("quote" -> "\"", "escape" -> "\"").asJava
       val line = when(col("event_id") % 500 === 0,
@@ -368,6 +373,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish subword proxy: non-empty runs between whitespace/punct
+    "text_subword_count" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(d("doc_id"), Fns.subwordCount(d("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     "text_lang_id" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(d("doc_id"), Fns.langId(d("text")).as("lang_pred")).orderBy("doc_id")
@@ -389,6 +401,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(s.read.parquet(t(dir, "documents")), threshold = 0.2)
       Dedup.clusters(pairs, maxIter = 8).orderBy("id")
+    }),
+
+    // survivors after near-dup clustering: drop every doc that is not its
+    // cluster's representative (lowest id)
+    "dedup_drop_survivors" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      val pairs = Dedup.ngramJaccard(docs, threshold = 0.2)
+      Dedup.dropNearDuplicates(docs, pairs, maxIter = 8)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // sketch-based dedup — engine-specific hashes; rows-only checks
@@ -442,6 +463,18 @@ object SparkEntry {
       Multimodal.extractFeatures(payloads).toDF()
         .select("doc_id", "n_bytes", "format")
         .orderBy("doc_id")
+    }),
+
+    // Frame/segment sampling plumbing: byte windows per payload (the
+    // video-frame / audio-segment shape); window lengths are the
+    // SQL-checkable projection
+    "multimodal_windows" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 50)
+      val payloads = d.select(d("doc_id"), d("text").cast("binary").as("payload"))
+      Multimodal.sampleWindows(payloads, windowBytes = 32, stride = 32)
+        .select(col("doc_id"), col("window_idx"),
+          length(col("window")).as("win_len"))
+        .orderBy("doc_id", "window_idx")
     }),
 
     // ================= joins / aggregation / windows =================
@@ -777,6 +810,51 @@ object SparkEntry {
          |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id)
          |SELECT id, min(label) AS cluster_id FROM cc GROUP BY id ORDER BY id""".stripMargin
     },
+
+    "dedup_drop_survivors" -> {
+      val ws = wordsSqlOf("text")
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $ws AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ')
+         |                        for i in range(1, len(ws) - 1)]) AS shs
+         |       FROM w WHERE len(ws) >= 3),
+         |e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |  HAVING round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+         |labels AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_subword_count" -> {
+      val cls = Fns.subwordDelimClass.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '$cls'), w -> w <> ''))
+         |       AS INTEGER) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "multimodal_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 50),
+        |w AS (
+        |  SELECT doc_id, n,
+        |         unnest(range(0, CAST(floor((n - 1) / 32) AS BIGINT) + 1)) AS widx
+        |  FROM d WHERE n > 0)
+        |SELECT doc_id, CAST(widx AS INTEGER) AS window_idx,
+        |       CAST(least(32, n - widx * 32) AS INTEGER) AS win_len
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),

@@ -128,11 +128,16 @@ object Fns {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))
 
-  /** BPE-ish subword count: words plus punctuation splits — a cheap proxy
-    * for tokenizer cost estimation at corpus scale.
+  /** BPE-ish subword count: non-empty runs between whitespace/punctuation
+    * — a cheap proxy for tokenizer cost estimation at corpus scale. The
+    * delimiter class is written out explicitly (== `\p{Punct}` + `\s`) so
+    * the identical regex runs in RE2-based oracles.
     */
+  val subwordDelimClass: String =
+    "[\\s!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]+"
+
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "[\\s\\p{Punct}]+"))
+    size(filter(split(text, subwordDelimClass), w => w =!= ""))
 
   /** Language-specific stopword hit count (n-gram/stopword heuristic). */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =

@@ -120,17 +120,24 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      labels = labels.select(col("id"), col("label"))
+      // checkpoint each round: truncates the doubling lineage AND lets
+      // the convergence probe + next round reuse the materialized result
+      val next = labels.select(col("id"), col("label"))
         .union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
-      // truncate the iterative plan every few rounds: unchecked, the
-      // lineage doubles per iteration and analysis/codegen time dominates
-      // long chains at scale
-      if ((i + 1) % 3 == 0 && i + 1 < maxIter) labels = labels.localCheckpoint()
+        .localCheckpoint()
+      // early exit when a full round moves no label: propagation needs
+      // diameter rounds, and real near-dup graphs converge in 2-3 —
+      // each skipped round saves a full join+aggregate job
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
