@@ -160,7 +160,15 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-D"))
-    val cmd = Seq(javaBin) ++ inherited ++
+    // GC selectable for the child (SPARK_GRAFT_BENCH_CHILD_GC=parallel|g1):
+    // G1 showed multi-second pause spikes at local[32] under the merge's
+    // allocation rate; ParallelGC is the throughput-batch alternative
+    val gcFlags = sys.env.get("SPARK_GRAFT_BENCH_CHILD_GC") match {
+      case Some("parallel") => Seq("-XX:+UseParallelGC")
+      case Some("g1") | None => Nil
+      case Some(other) => Seq(other) // raw JVM flag escape hatch
+    }
+    val cmd = Seq(javaBin) ++ inherited ++ gcFlags ++
       Seq("-cp", cp, "graft.Bench", "--replay-child",
         level.toString, work, feed, warmFeed, tag)
     val result =
@@ -172,6 +180,10 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         val err = p.getErrorStream.readAllBytes()
         val rc = p.waitFor()
+        if (sys.env.contains("GRAFT_MERGE_TIMING"))
+          new String(err, java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.filter(_.contains("[merge-timing]"))
+            .foreach(System.err.println)
         out.linesIterator.find(_.startsWith("GRAFT_CHILD")) match {
           case Some(line) if rc == 0 =>
             val kv = line.stripPrefix("GRAFT_CHILD").trim.split(" ")
@@ -231,6 +243,10 @@ object Bench {
     }
 
     // ---- phase 1: CDC merge throughput at parallelism levels -----------
+    // default 4 segments (~2M-row batches): measured sweet spot — batches
+    // big enough to amortize the ~0.9 s/batch serial driver floor, small
+    // enough that the single box's memory-bandwidth ceiling (see the
+    // membw calibration) doesn't dominate the high-parallelism levels
     val nSegments = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEGMENTS", "4").toInt
     val feedCfg = FeedConfig(numEvents = nEvents, numKeys = (nEvents / 40).toInt.max(1000),
       seed = 42, deleteFraction = 0.05, dupFraction = 0.02,
@@ -336,10 +352,41 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       iters.toDouble / ((System.nanoTime() - t0) / 1e9)
     }
-    val hw = if (mode == "queries") Map.empty[Int, Double]
+    // memory-bandwidth ceiling: parallel 64 MiB block copies per thread.
+    // The merge is shuffle/sort/parquet-encode heavy — bytes moved, not
+    // instructions retired — and a single box's memory bandwidth
+    // saturates at far fewer cores than its ALUs (a real cluster adds
+    // bandwidth with every node). Reading the engine only against the
+    // CPU-spin ceiling misattributes that saturation to the engine.
+    def memBwRate(threads: Int): Double = {
+      val words = 8 << 20 // 64 MiB per array
+      val srcs = Array.fill(threads)(new Array[Long](words))
+      val dsts = Array.fill(threads)(new Array[Long](words))
+      val reps = 6
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var r = 0
+          while (r < reps) {
+            System.arraycopy(srcs(t), 0, dsts(t), 0, words)
+            r += 1
+          }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      threads.toDouble * reps * words * 8 / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    // calibrations are best-of-3 like the engine reps (the same one-sided
+    // host noise hits a single calibration pass)
+    val (hw, hwBw) = if (mode == "queries") (Map.empty[Int, Double], Map.empty[Int, Double])
       else {
         spinRate(4) // JIT warm-up, discarded
-        levels.map(l => l -> spinRate(l)).toMap
+        memBwRate(4)
+        def bestOf(f: Int => Double): Map[Int, Double] =
+          (1 to 3).flatMap(_ => levels.map(l => l -> f(l)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        (bestOf(spinRate), bestOf(memBwRate))
       }
 
     val rateJson = rateByLevel.toSeq.sortBy(_._1).map { case (l, (r, sec)) =>
@@ -355,8 +402,11 @@ object Bench {
       val e = rateByLevel.get(b).flatMap(rb => rateByLevel.get(a).map(ra =>
         (rb._1 / ra._1) / (b.toDouble / a))).getOrElse(0.0)
       val h = (for {hb <- hw.get(b); ha <- hw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
-      s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling":${f(h)},""" +
-        s""""engine_vs_hw":${f(if (h > 0) e / h else 0.0)}}"""
+      val hm = (for {hb <- hwBw.get(b); ha <- hwBw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
+      s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling_cpu":${f(h)},""" +
+        s""""hardware_ceiling_membw":${f(hm)},""" +
+        s""""engine_vs_hw":${f(if (h > 0) e / h else 0.0)},""" +
+        s""""engine_vs_membw":${f(if (hm > 0) e / hm else 0.0)}}"""
     }.mkString("{", ",", "}")
     val headline = levels.sorted.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
     val cdc =

@@ -50,17 +50,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit sketch, pairs within `maxHamming`.
-    * Blocked by the sketch's 4 x 16-bit chunks (two near sketches must
-    * share at least one chunk when maxHamming < 4) to avoid the full
-    * cross-join.
+    * Blocked by `maxHamming + 1` bit-span chunks of the sketch: if two
+    * sketches differ in at most `maxHamming` bits, the pigeonhole
+    * principle guarantees at least one chunk is bit-identical, so chunk
+    * equality is a LOSSLESS candidate filter (no missed pairs) that
+    * avoids the full cross-join. More chunks = shorter spans = more
+    * candidate collisions; recall stays exact, cost grows — the usual
+    * Hamming-LSH tradeoff, here always on the safe side.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
+    val chunks = (maxHamming + 1).max(2).min(32)
     val sk = docs.select(col(idCol).as("id"), Fns.simhash64(col(textCol)).as("sk"))
-    val chunked = sk.select(col("id"), col("sk"), posexplode(
-      array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"),
-          shiftright(col("sk"), i * 16).bitwiseAND(lit(0xffffL)).as("val"))): _*)))
+    val spans = (0 until chunks).map { i =>
+      val start = i * 64 / chunks
+      val width = (i + 1) * 64 / chunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("chunk"),
+        shiftright(col("sk"), start).bitwiseAND(lit(mask)).as("val"))
+    }
+    val chunked = sk.select(col("id"), col("sk"), posexplode(array(spans: _*)))
       .select(col("id"), col("sk"), col("col.chunk"), col("col.val"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&

@@ -47,7 +47,8 @@ object Explain {
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "cdc_dedupe_lww", "join_revenue_by_nation", "dedup_ngram_jaccard",
-      "ann_bruteforce_topk", "window_topk_per_user")
+      "ann_bruteforce_topk", "window_topk_per_user",
+      "ann_lsh_topk", "match_fuzzy", "csv_parse_route", "edges_emit")
     names.foreach { n =>
       graft.SparkEntry.queries.get(n).foreach { fn =>
         println(s"==== query: $n ====")

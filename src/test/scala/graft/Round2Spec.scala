@@ -273,6 +273,34 @@ class HyperplaneLedgerSpec extends SparkSpec {
   }
 }
 
+/** SimHash chunk blocking must be lossless at the requested radius. */
+class SimhashBlockingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunked blocking finds ALL pairs within maxHamming (pigeonhole)") {
+    // perturbed variants of two base texts: near pairs at hamming up to
+    // ~10, cross pairs far apart
+    val base1 = "the quick brown fox jumps over the lazy dog again and again"
+    val base2 = "completely different content about spark engines at scale now"
+    val docs = (0 until 8).map { i =>
+      val b = if (i % 2 == 0) base1 else base2
+      (i.toLong, if (i < 4) b else b + s" tail$i word")
+    }.toDF("doc_id", "text")
+    for (maxH <- Seq(3, 8, 12)) {
+      val sk = docs.select(col("doc_id").as("id"),
+        graft.functions.Fns.simhash64(col("text")).as("sk"))
+      val exact = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          graft.functions.Fns.hamming64(col("a.sk"), col("b.sk")).as("h"))
+        .filter(col("h") <= maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = Dedup.simhashPairs(docs, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked === exact, s"maxHamming=$maxH")
+    }
+  }
+}
+
 /** Zero-norm / length-mismatch cosine edge cases (null, never NaN). */
 class CosineEdgeSpec extends SparkSpec {
   import spark.implicits._
