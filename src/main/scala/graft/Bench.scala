@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.col
   *    codegen warm-up — the reference's 20-call warm-up pattern,
   *    ClusterClientServiceImpl.java:70-80).
   *
-  *    Levels run `reps` times each (default 3, interleaved across levels
+  *    Levels run `reps` times each (default 2, interleaved across levels
   *    so host drift hits all levels equally); the reported rate is the
   *    per-level BEST rep (external host contention is one-sided noise —
   *    the same replay measures 3x slower in a loaded minute — so the
@@ -101,17 +101,22 @@ object Bench {
 
   /** Child mode: warm-up + one timed replay at a given level, in this
     * fresh JVM. The warm-up replays the FULL feed once into a throwaway
-    * table — a fresh JVM is JIT-cold, and a small warm-up leaves the
-    * timed run measuring the C2 compiler instead of the engine (measured:
-    * a 100k-event warm-up leaves local[8] at 146k ev/s vs 576k warm).
-    * Prints a single parseable result line.
+    * table, then waits for the JIT compile queue to drain — a fresh JVM
+    * is JIT-cold, and a small warm-up leaves the timed run measuring the
+    * C2 compiler instead of the engine (measured: a 100k-event warm-up
+    * leaves local[8] at 146k ev/s vs 576k warm). Prints a single
+    * parseable result line.
     */
   private def childMain(level: Int, work: String, feed: String,
       warmFeed: String, tag: String): Unit = {
     val cfg = mergeCfgFromEnv()
     val spark = newSession(level, s"$work/spark-local-$tag")
+    // warm-up 1: a small feed first — many quick small-batch iterations
+    // give the JIT its profile counts cheaply (measured: skipping this
+    // makes the full warm-up ~2x slower AND leaves the timed run slower)
     val (smallSec, _) =
       replay(spark, s"$warmFeed/phase=0", s"$work/t-warm-$tag", s"warm$tag", cfg)
+    // warm-up 2: the full feed once (steady-state plan shapes/sizes)
     val (fullSec, _) =
       replay(spark, s"$feed/phase=0", s"$work/t-warm2-$tag", s"warm2$tag", cfg)
     // let the JIT compile queue drain before timing: at high parallelism
@@ -209,7 +214,7 @@ object Bench {
       val cfg = mergeCfgFromEnv()
       val spark = newSession(level, s"$work/spark-local-$tag")
       val (warmSec, _) =
-        replay(spark, s"$warmFeed/phase=0", s"$work/t-warm-$tag", s"warm$tag", cfg)
+        replay(spark, s"$feed/phase=0", s"$work/t-warm-$tag", s"warm$tag", cfg)
       val (sec, perBatch) =
         replay(spark, s"$feed/phase=0", s"$work/t-$tag", s"cdc$tag", cfg)
       spark.stop()
@@ -261,7 +266,10 @@ object Bench {
     // against what the host can physically deliver).
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq.distinct
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 2 reps by default: 8 child JVMs (3 levels + skew, x2) keeps the
+    // whole bench inside the ~13-minute round-1 envelope on a quiet host
+    // while still giving best-of-2 protection against a loaded minute
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val doSkew = !sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")
 
     var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)

@@ -173,6 +173,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Maintenance in the correctness gate: same replay as cdc_final_state,
+    // then a full compaction (tombstone GC at the feed's max LSN) and a
+    // vacuum — the surviving state must be IDENTICAL to the uncompacted
+    // oracle answer.
+    "cdc_compaction" -> ((s, dir) => {
+      val table = LakeTable(scratchDir("graft-cdc-cmp", dir))
+      val changes = cdcChanges(s, dir).persist()
+      try {
+        (0L until 4L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "compact", b, MergeConfig(numBuckets = 8))
+        }
+        val maxLsn = changes.agg(max("lsn")).head().getLong(0)
+        graft.table.Maintenance.compact(s, table, tombstoneWatermark = maxLsn)
+        graft.table.Maintenance.vacuum(table, retainFromVersion = table.currentVersion())
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("n_tok"), col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
+    // Time travel: state as of the snapshot after the SECOND micro-batch
+    // (only events with lsn % 4 in {0,1} applied), read from the retained
+    // older manifest while the table is at version 3.
+    "cdc_time_travel" -> ((s, dir) => {
+      val table = LakeTable(scratchDir("graft-cdc-tt", dir))
+      val changes = cdcChanges(s, dir).persist()
+      try {
+        val versions = (0L until 4L).map { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "tt", b, MergeConfig(numBuckets = 8)).version
+        }
+        table.readVersion(s, versions(1))
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
     // Per-column update policy (updatereq rules): replay the upsert-only
     // feed with source=ExcludeFromUpdate — the stored source is the one
     // set by the insert-time event (the max-lsn event of the key's FIRST
@@ -604,6 +644,27 @@ object SparkEntry {
          |            WHEN n_matches = 0 THEN 'NO_MATCH'
          |            ELSE 'MULTIPLE' END AS match_status
          |FROM counted ORDER BY doc_id""".stripMargin,
+
+    "cdc_compaction" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM changes)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
+
+    "cdc_time_travel" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |sub AS (SELECT * FROM changes WHERE lsn % 4 <= 1),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM sub)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
 
     "cdc_merge_policy" ->
       s"""WITH changes AS ($cdcChangesSql),
