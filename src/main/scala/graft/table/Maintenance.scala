@@ -74,7 +74,13 @@ object Maintenance {
       schemaJson = m.schemaJson,
       numBuckets = m.numBuckets,
       files = newFiles,
-      ledger = m.ledger))
+      // carry the ledger floor: after retention has folded old batches into
+      // floorBatch, the floor is the ONLY record that those batches
+      // committed. Dropping it here would let a replayed pre-floor batch
+      // re-apply against a table whose tombstones this compaction just
+      // GC'd — resurrecting deleted keys.
+      ledger = m.ledger,
+      floorBatch = m.floorBatch))
     CompactionResult(snapshotId, nextVersion, m.files.size, newFiles.size,
       tombstoneWatermark > Long.MinValue)
   }
