@@ -25,28 +25,46 @@ object Maintenance {
       filesAfter: Int,
       tombstonesDropped: Boolean)
 
-  /** Rewrite each bucket's file set into one file per bucket, dropping
-    * tombstone rows whose LSN is at or below `tombstoneWatermark`.
+  /** Rewrite each selected bucket's file set into one file per bucket,
+    * dropping tombstone rows whose LSN is at or below `tombstoneWatermark`.
     *
     * The watermark is the caller's promise that no in-flight change event
     * has an LSN <= it (e.g. the feed's committed low-watermark): a
     * tombstone only exists to fence out-of-order events older than the
     * delete, so once the feed has advanced past that LSN the tombstone is
     * dead weight. Pass Long.MinValue to keep all tombstones.
+    *
+    * `buckets = None` compacts the whole table. At 100 TB that is a
+    * full-table rewrite per maintenance run — pass an explicit subset
+    * (or use [[mostFragmented]]) so each run is O(touched buckets):
+    * untouched buckets' files carry over into the new manifest with no
+    * I/O, exactly like the merge path's bucket pruning.
     */
   def compact(spark: SparkSession, table: LakeTable,
-      tombstoneWatermark: Long = Long.MinValue): CompactionResult = {
+      tombstoneWatermark: Long = Long.MinValue,
+      buckets: Option[Set[Int]] = None): CompactionResult = {
     val m = table.currentManifest()
     val stored = LakeTable.storedSchema(m.schema)
     val nextVersion = m.version + 1
     val staging = table.stagingDir(nextVersion)
 
-    val df = spark.read.schema(stored).parquet(m.files.map(_.path): _*)
+    val (touched, kept) = buckets match {
+      case None => (m.files, Seq.empty[graft.table.FileEntry])
+      case Some(bs) => m.files.partition(f => bs.contains(f.bucket))
+    }
+    if (touched.isEmpty) {
+      // nothing selected: commit nothing, report the no-op
+      return CompactionResult(m.snapshotId, m.version,
+        m.files.size, m.files.size, tombstonesDropped = false)
+    }
+    val nTouchedBuckets = touched.map(_.bucket).distinct.size
+
+    val df = spark.read.schema(stored).parquet(touched.map(_.path): _*)
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
 
-    df.repartition(m.numBuckets, col("_bucket"))
+    df.repartition(nTouchedBuckets, col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
 
@@ -73,7 +91,7 @@ object Maintenance {
       parentSnapshotId = Some(m.snapshotId),
       schemaJson = m.schemaJson,
       numBuckets = m.numBuckets,
-      files = newFiles,
+      files = kept ++ newFiles,
       // carry the ledger floor: after retention has folded old batches into
       // floorBatch, the floor is the ONLY record that those batches
       // committed. Dropping it here would let a replayed pre-floor batch
@@ -81,9 +99,23 @@ object Maintenance {
       // GC'd — resurrecting deleted keys.
       ledger = m.ledger,
       floorBatch = m.floorBatch))
-    CompactionResult(snapshotId, nextVersion, m.files.size, newFiles.size,
-      tombstoneWatermark > Long.MinValue)
+    CompactionResult(snapshotId, nextVersion, m.files.size,
+      kept.size + newFiles.size, tombstoneWatermark > Long.MinValue)
   }
+
+  /** The `n` buckets that most need compaction: highest file count first
+    * (ties broken by bucket id for determinism), only buckets with more
+    * than one file. Driver-side over the manifest's file list — O(files)
+    * metadata, no data I/O — so a maintenance loop can call
+    * `compact(spark, table, wm, Some(mostFragmented(table, n)))` each
+    * cycle and keep every run bounded.
+    */
+  def mostFragmented(table: LakeTable, n: Int): Set[Int] =
+    table.currentManifest().files
+      .groupBy(_.bucket).view.mapValues(_.size).toSeq
+      .filter(_._2 > 1)
+      .sortBy { case (b, c) => (-c, b) }
+      .take(n).map(_._1).toSet
 
   /** Delete data files not referenced by any manifest at or above
     * `retainFromVersion` (orphans from lost CAS races or superseded
