@@ -43,14 +43,17 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Long, dim: Int
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    // exact-dim contract: a length-mismatched vector buckets as 0L (all
+    // sign bits 0), matching the interpreted zip_with/aggregate
+    // formulation where any mismatch nulls the dot product
+    if (v.numElements() != dim) return 0L
     var bucket = 0L
     var p = 0
     while (p < planes) {
       var dot = 0.0
       var d = 0
       val off = p * dim
-      while (d < n) { dot += v.getFloat(d) * components(off + d); d += 1 }
+      while (d < dim) { dot += v.getFloat(d) * components(off + d); d += 1 }
       if (dot >= 0) bucket |= (1L << p)
       p += 1
     }
@@ -60,21 +63,23 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Long, dim: Int
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val comps = ctx.addReferenceObj("components", components, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
       val dot = ctx.freshName("dot")
       val off = ctx.freshName("off")
+      // mismatched-length vectors bucket as 0L (parity with the
+      // interpreted formulation's nulled dot -> all bits 0)
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
          |${ev.value} = 0L;
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  double $dot = 0.0;
-         |  int $off = $p * $dim;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $dot += (double) $v.getFloat($d) * $comps[$off + $d];
+         |if ($v.numElements() == $dim) {
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double $dot = 0.0;
+         |    int $off = $p * $dim;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $dot += (double) $v.getFloat($d) * $comps[$off + $d];
+         |    }
+         |    if ($dot >= 0) ${ev.value} |= (1L << $p);
          |  }
-         |  if ($dot >= 0) ${ev.value} |= (1L << $p);
          |}
        """.stripMargin
     })

@@ -199,21 +199,26 @@ object MergeInto {
     // PontusTinkerPopClient.java:213-258): structurally invalid events
     // (null key / null lsn / unknown op) divert to a quarantine table at a
     // deterministic per-batch path (idempotent overwrite) instead of
-    // corrupting the merge
+    // corrupting the merge.
     // `good` is two-valued by construction (coalesce over the three-valued
     // op membership test): a null op must land in the rejects, not vanish
-    // from both sides of the split
-    val batch = cfg.deadLetterDir match {
-      case None => batch0
+    // from both sides of the split.
+    // Single-pass: the batch is cached once, the rejects write is the ONE
+    // extra action (an empty reject set writes an empty dir — cheaper than
+    // a separate isEmpty probe job every batch), and the merge's own
+    // stats/dedupe/join scans read the cache instead of re-reading the
+    // source. Unpersisted in the finally below.
+    val (batch, cachedBatch) = cfg.deadLetterDir match {
+      case None => (batch0, None)
       case Some(dir) =>
+        val cached = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val good = col("doc_id").isNotNull && col("lsn").isNotNull &&
           coalesce(col("op").isInCollection(Ops.all), lit(false))
-        val rejects = batch0.filter(!good)
-        if (!rejects.isEmpty)
-          rejects.write.mode("overwrite")
-            .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
-        batch0.filter(good)
+        cached.filter(!good).write.mode("overwrite")
+          .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
+        (cached.filter(good), Some(cached))
     }
+    try {
 
     val current = table.currentManifestOpt()
 
@@ -440,6 +445,7 @@ object MergeInto {
     commitManifest(table, current, evolved, numBuckets,
       keptFiles ++ newFiles, ledgerKey, lineage, cfg.ledgerRetention,
       snapshotId, nextVersion)
+    } finally cachedBatch.foreach(_.unpersist(false))
   }
 
   private def commitManifest(

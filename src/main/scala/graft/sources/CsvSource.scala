@@ -26,8 +26,20 @@ object CsvSource {
     * (raw text of every line the parser could not bind to the schema —
     * the reference's FAILURE relationship for column-count mismatch,
     * `CSVToJSONProcessor.java:198-206`).
+    *
+    * The parsed split is cached: Spark requires the parse to be cached
+    * before the corrupt column may be queried on its own
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache also makes the
+    * two routes read one parse. Call [[RoutedCsv.release]] when done with
+    * BOTH frames (a long-running ingest job that never releases leaks one
+    * cache entry per read for the session's lifetime); after release the
+    * frames must not be reused — corrupt-column-only plans cannot
+    * recompute uncached.
     */
-  final case class RoutedCsv(good: DataFrame, corrupt: DataFrame)
+  final case class RoutedCsv(good: DataFrame, corrupt: DataFrame,
+      private val cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(false); () }
+  }
 
   /** Schema-first CSV read, PERMISSIVE, with corrupt records routed.
     *
@@ -65,6 +77,7 @@ object CsvSource {
         if (c == CORRUPT) c else c.replaceAll(headerFind, headerReplace)).toIndexedSeq: _*)
     RoutedCsv(
       good = renamed.filter(col(CORRUPT).isNull).drop(CORRUPT),
-      corrupt = renamed.filter(col(CORRUPT).isNotNull).select(col(CORRUPT)))
+      corrupt = renamed.filter(col(CORRUPT).isNotNull).select(col(CORRUPT)),
+      cached = raw)
   }
 }

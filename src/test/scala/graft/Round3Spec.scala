@@ -138,3 +138,66 @@ class IncrementalCompactSpec extends SparkSpec {
     assert(Maintenance.mostFragmented(table, 0) === Set.empty)
   }
 }
+
+/** Hot-path hygiene regressions. */
+class HotPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def jobsOf(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("dead-letter routing costs at most one extra Spark job per batch") {
+    val work = tmpDir("lake-dlq-jobs")
+    val evs = (1 to 50).map(i =>
+      RawEvent(i.toLong, s"k$i", Ops.Insert, Array(i), 1, "s", null, 0))
+    val plain = jobsOf("dlq-off") {
+      MergeInto.apply(spark, LakeTable(s"$work/t0"), batchDf(evs), "cp", 0L,
+        MergeConfig(numBuckets = 4))
+    }
+    val routed = jobsOf("dlq-on") {
+      MergeInto.apply(spark, LakeTable(s"$work/t1"), batchDf(evs), "cp", 0L,
+        MergeConfig(numBuckets = 4, deadLetterDir = Some(s"$work/dlq")))
+    }
+    assert(routed <= plain + 1,
+      s"dead-letter path ran $routed jobs vs $plain without (allowed +1)")
+  }
+
+  test("hyperplane_bucket: mismatched-length vector buckets as 0 on both paths") {
+    val dim = 8
+    val df = Seq(
+      (1L, Array.fill(dim)(0.5f)),          // exact dim
+      (2L, Array.fill(dim - 2)(0.5f)),      // short
+      (3L, Array.fill(dim + 3)(0.5f)))      // long
+      .toDF("id", "v")
+    val native = df.select(col("id"),
+      graft.operators.Ann.hyperplaneBucket(col("v"), 6, 42L, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val interp = df.select(col("id"),
+      graft.operators.Ann.hyperplaneBucketColumns(col("v"), 6, 42L, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === interp)
+    assert(native(2L) === 0L && native(3L) === 0L)
+  }
+
+  test("RoutedCsv.release drops the cache entry (no per-read session leak)") {
+    val dir = tmpDir("csv-release")
+    Seq("1,alice", "2,bob").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING")
+    val routed = graft.sources.CsvSource.readRouted(spark, dir, schema, header = false)
+    assert(routed.good.count() === 2)
+    assert(routed.corrupt.count() === 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    routed.release()
+    // the routed read's cache entry is gone (others, if any, untouched)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.subsetOf(before) && after.size < before.size)
+  }
+}
