@@ -234,19 +234,88 @@ object SparkEntry {
     }),
 
     // Fuzzy match-or-create (textContainsFuzzy): probes with deterministic
-    // single-edit typos, blocked by lang, levenshtein <= 1 decision table.
+    // single-edit typos, levenshtein <= 1 decision inside an exact block.
+    // The block key is HIGH-CARDINALITY (lang x a registry-shard exact
+    // prop — the reference's mandatoryInSearch exact props): at 100 TB a
+    // low-cardinality block (e.g. lang alone, 4 values) is a skew bomb —
+    // 4 partitions each doing O(n^2/4) in-block comparisons. Block
+    // cardinality must scale with the data (pick the modulus so expected
+    // block size stays O(1): cardinality ~ n / target_block_size); the
+    // fuzzy predicate then only ever runs inside O(1)-sized blocks.
     "match_fuzzy" -> ((s, dir) => {
       val d = s.read.parquet(t(dir, "documents"))
+      val blockOf: Column = concat(d("lang"), lit("-"),
+        (d("doc_id") % 500).cast("string"))
       val target = d.select(concat(lit("doc-"), d("doc_id").cast("string")).as("key"),
-        d("lang").as("block"))
+        blockOf.as("block"))
       val incoming = d.filter(d("doc_id") % 7 === 0).select(
         when(d("doc_id") % 3 === 0,
           concat(lit("doc-"), d("doc_id").cast("string"), lit("x")))
           .otherwise(concat(lit("doc-"), d("doc_id").cast("string"))).as("probe"),
-        d("lang").as("block"))
+        blockOf.as("block"))
       Route.matchStatusFuzzy(incoming, target, "block", "probe", "key", maxDist = 1)
         .select("probe", "block", "n_matches", "match_status")
         .orderBy("probe", "block")
+    }),
+
+    // Declarative updatereq rules -> MERGE config: the reference's entire
+    // upsert surface is a JSON rule doc (flow.xml:1163-1307); here the doc
+    // is parsed into merge keys + column policies and drives the same
+    // 4-batch replay as cdc_merge_policy — rules in, oracle-identical
+    // state out.
+    "cdc_rules_merge" -> ((s, dir) => {
+      val rules = graft.rules.UpdateReq.parse(
+        """{"updatereq":{"vertices":[
+          |  {"label":"Doc","props":[
+          |    {"name":"doc_id","val":"${doc_id}","predicate":"eq","mandatoryInSearch":true},
+          |    {"name":"tokens","val":"${tokens}"},
+          |    {"name":"source","val":"${source}","excludeFromUpdate":true}
+          |  ]}],"edges":[]}}""".stripMargin)
+      val doc = rules.vertex("Doc")
+      require(doc.exactKeys.map(_.columnName) == Seq("doc_id"),
+        "rule doc must declare doc_id as the exact mandatory search key")
+      val table = LakeTable(scratchDir("graft-cdc-rules", dir))
+      val changes = cdcChanges(s, dir).filter(col("op") =!= "D").persist()
+      try {
+        (0L until 4L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "rules", b, MergeConfig(numBuckets = 8,
+              columnPolicy = doc.columnPolicy))
+        }
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
+    // Rules-driven fuzzy match-or-create: a Person-shaped rule doc
+    // (textContainsFuzzy name + exact registry-shard mandatory prop,
+    // uppercase post-processor) compiled to the blocked fuzzy matcher.
+    "rules_match_fuzzy" -> ((s, dir) => {
+      val rules = graft.rules.UpdateReq.parse(
+        """{"updatereq":{"vertices":[
+          |  {"label":"Person","props":[
+          |    {"name":"full_name","val":"${name}","predicate":"textContainsFuzzy",
+          |     "type":"[Ljava.lang.String;","excludeFromUpdate":true,
+          |     "mandatoryInSearch":true,"postProcessor":"${it?.toUpperCase()?.trim()}"},
+          |    {"name":"registry_shard","val":"${shard}","predicate":"eq",
+          |     "mandatoryInSearch":true}
+          |  ]}],"edges":[]}}""".stripMargin)
+      val person = rules.vertex("Person")
+      val d = s.read.parquet(t(dir, "documents"))
+      val shard = (d("doc_id") % 500).cast("string")
+      val target = d.select(
+        concat(lit("doc-"), d("doc_id").cast("string")).as("name"), shard.as("shard"))
+      val incoming = d.filter(d("doc_id") % 7 === 0).select(
+        when(d("doc_id") % 3 === 0,
+          concat(lit("doc-"), d("doc_id").cast("string"), lit("x")))
+          .otherwise(concat(lit("doc-"), d("doc_id").cast("string"))).as("name"),
+        shard.as("shard"))
+      person.matchStatus(person.bind(incoming), person.bind(target), maxDist = 1)
+        .select(col("_fz_in").as("probe"), col("_blk").as("shard"),
+          col("n_matches"), col("match_status"))
+        .orderBy("probe", "shard")
     }),
 
     // CSV ingestion front door (CSVToJSONProcessor + CleanCSVHeader):
@@ -685,13 +754,14 @@ object SparkEntry {
 
     "match_fuzzy" ->
       """WITH target AS (
-        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key, lang AS block
+        |  SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key,
+        |         lang || '-' || CAST(doc_id % 500 AS VARCHAR) AS block
         |  FROM documents),
         |inc AS (
         |  SELECT CASE WHEN doc_id % 3 = 0
         |              THEN 'doc-' || CAST(doc_id AS VARCHAR) || 'x'
         |              ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS probe,
-        |         lang AS block
+        |         lang || '-' || CAST(doc_id % 500 AS VARCHAR) AS block
         |  FROM documents WHERE doc_id % 7 = 0),
         |counted AS (
         |  SELECT i.probe, i.block, count(t.key) AS n_matches
@@ -703,6 +773,45 @@ object SparkEntry {
         |            WHEN n_matches = 0 THEN 'NO_MATCH'
         |            ELSE 'MULTIPLE' END AS match_status
         |FROM counted ORDER BY probe, block""".stripMargin,
+
+    "cdc_rules_merge" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |u AS (SELECT *, lsn % 4 AS batch FROM changes WHERE op <> 'D'),
+         |winner AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM u),
+         |firstb AS (SELECT doc_id, min(batch) AS fb FROM u GROUP BY doc_id),
+         |ins AS (
+         |  SELECT u.doc_id, u.source,
+         |         row_number() OVER (PARTITION BY u.doc_id ORDER BY u.lsn DESC) AS rn
+         |  FROM u JOIN firstb f ON u.doc_id = f.doc_id AND u.batch = f.fb)
+         |SELECT w.doc_id, ${stringifyIntArraySql("w.tokens")} AS tokens_csv,
+         |       i.source AS source, w.lsn
+         |FROM winner w JOIN ins i ON w.doc_id = i.doc_id AND i.rn = 1
+         |WHERE w.rn = 1
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "rules_match_fuzzy" ->
+      """WITH target AS (
+        |  SELECT upper('doc-' || CAST(doc_id AS VARCHAR)) AS key,
+        |         CAST(doc_id % 500 AS VARCHAR) AS shard
+        |  FROM documents),
+        |inc AS (
+        |  SELECT upper(CASE WHEN doc_id % 3 = 0
+        |              THEN 'doc-' || CAST(doc_id AS VARCHAR) || 'x'
+        |              ELSE 'doc-' || CAST(doc_id AS VARCHAR) END) AS probe,
+        |         CAST(doc_id % 500 AS VARCHAR) AS shard
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |counted AS (
+        |  SELECT i.probe, i.shard, count(t.key) AS n_matches
+        |  FROM inc i LEFT JOIN target t
+        |    ON i.shard = t.shard AND levenshtein(i.probe, t.key) <= 1
+        |  GROUP BY i.probe, i.shard)
+        |SELECT probe, shard, n_matches,
+        |       CASE WHEN n_matches = 1 THEN 'MATCH'
+        |            WHEN n_matches = 0 THEN 'NO_MATCH'
+        |            ELSE 'MULTIPLE' END AS match_status
+        |FROM counted ORDER BY probe, shard""".stripMargin,
 
     "csv_parse_route" ->
       """SELECT event_id, user_id, event_type, value,

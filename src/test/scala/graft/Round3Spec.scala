@@ -139,6 +139,128 @@ class IncrementalCompactSpec extends SparkSpec {
   }
 }
 
+/** Declarative updatereq rule ingestion: the reference configures its
+  * whole upsert surface from a JSON rule document (flow.xml:1163-1307);
+  * parse one of that exact shape and check every derived primitive.
+  */
+class UpdateReqSpec extends SparkSpec {
+  import graft.rules.UpdateReq
+  import spark.implicits._
+
+  // the reference's Person/Location/Event rule shape (same fields:
+  // predicate, type coercion, mandatoryInSearch, excludeFromUpdate,
+  // postProcessor, edges)
+  private val personDoc =
+    """{"updatereq":{
+      |  "vertices":[
+      |    {"label":"Person","props":[
+      |      {"name":"Person.Full_Name_fuzzy","val":"${person}",
+      |       "predicate":"textContainsFuzzy","type":"[Ljava.lang.String;",
+      |       "excludeFromUpdate":true,"mandatoryInSearch":true,
+      |       "postProcessor":"${it?.toUpperCase()?.trim()}"},
+      |      {"name":"Person.Last_Name","val":"${person}",
+      |       "predicate":"textContainsFuzzy","type":"[Ljava.lang.String;",
+      |       "excludeFromUpdate":true,
+      |       "postProcessor":"${it?.toUpperCase()?.trim()}"}
+      |    ]},
+      |    {"label":"Location.Address","props":[
+      |      {"name":"Location.Address.parser.postcode","val":"${postcode}",
+      |       "type":"[Ljava.lang.String;","excludeFromUpdate":true,
+      |       "mandatoryInSearch":true,
+      |       "postProcessor":"${com.pontusvision.utils.PostCode.format(eachPostCode)}"}
+      |    ]},
+      |    {"label":"Event.Ingestion","props":[
+      |      {"name":"Event.Ingestion.Type","val":"PDF Form Files",
+      |       "excludeFromSearch":true},
+      |      {"name":"Event.Ingestion.Metadata_Create_Date","val":"${new Date()}",
+      |       "excludeFromSearch":true,"type":"java.util.Date"}
+      |    ]}
+      |  ],
+      |  "edges":[
+      |    {"label":"Has_Ingestion_Event","fromVertexLabel":"Person",
+      |     "toVertexLabel":"Event.Ingestion"}
+      |  ]}}""".stripMargin
+
+  test("parses the reference rule-doc shape into keys, policies, edges") {
+    val rules = UpdateReq.parse(personDoc)
+    assert(rules.vertices.map(_.label) ===
+      Seq("Person", "Location.Address", "Event.Ingestion"))
+    val person = rules.vertex("Person")
+    assert(person.fuzzyKeys.map(_.name) === Seq("Person.Full_Name_fuzzy"))
+    assert(person.exactKeys.isEmpty)
+    assert(person.columnPolicy.keySet ===
+      Set("Person_Full_Name_fuzzy", "Person_Last_Name"))
+    assert(rules.edges === Seq(UpdateReq.EdgeRule(
+      "Has_Ingestion_Event", "Person", "Event.Ingestion")))
+    // literal-valued, search-excluded props parse too
+    val event = rules.vertex("Event.Ingestion")
+    assert(event.props.forall(_.excludeFromSearch))
+    assert(event.exactKeys.isEmpty && event.fuzzyKeys.isEmpty)
+  }
+
+  test("binding applies post-processors and type coercions") {
+    val rules = UpdateReq.parse(personDoc)
+    val df = Seq(("  jo smith ", "ec1a 1bb")).toDF("person", "postcode")
+    val bound = rules.vertex("Person").bind(df)
+    assert(bound.schema("Person_Full_Name_fuzzy").dataType.simpleString
+      === "array<string>")
+    assert(bound.select(element_at(col("Person_Full_Name_fuzzy"), 1))
+      .head().getString(0) === "JO SMITH")
+    val pc = rules.vertex("Location.Address").bind(df)
+      .select(element_at(col("Location_Address_parser_postcode"), 1)).head().getString(0)
+    assert(pc === "EC1A 1BB")
+    // java.util.Date coercion yields a timestamp column
+    val ev = rules.vertex("Event.Ingestion").bind(df)
+    assert(ev.schema("Event_Ingestion_Metadata_Create_Date").dataType.simpleString
+      === "timestamp")
+    assert(ev.select(col("Event_Ingestion_Type")).head().getString(0)
+      === "PDF Form Files")
+  }
+
+  test("exact-key matchStatus reproduces the match-or-create decision table") {
+    val doc =
+      """{"vertices":[{"label":"K","props":[
+        |  {"name":"k","val":"${k}","predicate":"eq","mandatoryInSearch":true}
+        |]}]}""".stripMargin
+    val v = UpdateReq.parse(doc).vertex("K")
+    val target = Seq("a", "b", "b").toDF("k")
+    val incoming = Seq("a", "b", "c").toDF("k")
+    val got = v.matchStatus(v.bind(incoming), v.bind(target))
+      .select("k", "match_status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "MATCH", "b" -> "MULTIPLE", "c" -> "NO_MATCH"))
+  }
+
+  test("fuzzy matchStatus blocks on exact keys, matches within edit distance") {
+    val doc =
+      """{"vertices":[{"label":"P","props":[
+        |  {"name":"nm","val":"${nm}","predicate":"textContainsFuzzy",
+        |   "type":"[Ljava.lang.String;","mandatoryInSearch":true},
+        |  {"name":"shard","val":"${shard}","predicate":"eq","mandatoryInSearch":true}
+        |]}]}""".stripMargin
+    val v = UpdateReq.parse(doc).vertex("P")
+    val target = Seq(("smith", "1"), ("smyth", "2")).toDF("nm", "shard")
+    val incoming = Seq(("smithh", "1"), ("smithh", "2"), ("smithh", "3"))
+      .toDF("nm", "shard")
+    val got = v.matchStatus(v.bind(incoming), v.bind(target), maxDist = 1)
+      .select("_blk", "match_status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // block 1: 1 edit away -> MATCH; block 2: 2 edits -> NO_MATCH;
+    // block 3: empty block -> NO_MATCH
+    assert(got === Map("1" -> "MATCH", "2" -> "NO_MATCH", "3" -> "NO_MATCH"))
+  }
+
+  test("unsupported scriptlets raise at parse/bind time, not silently misbind") {
+    val doc =
+      """{"vertices":[{"label":"X","props":[
+        |  {"name":"x","val":"${a.b?.complexCall()}","predicate":"eq"}
+        |]}]}""".stripMargin
+    val v = UpdateReq.parse(doc).vertex("X")
+    val df = Seq("v").toDF("a")
+    intercept[IllegalArgumentException] { v.bind(df) }
+  }
+}
+
 /** Hot-path hygiene regressions. */
 class HotPathSpec extends SparkSpec {
   import spark.implicits._
