@@ -564,6 +564,72 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ================= archive explode (real JDK-only decode) ===========
+
+    // UnpackContent / PST-reader shape (1 archive -> N records): documents
+    // packed into zip archives (10 docs per zip, built deterministically
+    // in-query), exploded back to one row per entry with REAL zip decode.
+    // Entry sizes equal the original text byte lengths — SQL-checkable.
+    "archive_explode" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200)
+      val parts = d.select((d("doc_id") % 10).as("zip_id"),
+        concat(lit("doc"), d("doc_id").cast("string"), lit(".txt")).as("name"),
+        d("text").cast("binary").as("bytes"))
+      val zips = parts.as[(Long, String, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (zid, it) =>
+          (zid, graft.sources.ArchiveSource.zipBytes(
+            it.map(e => (e._2, e._3)).toSeq.sortBy(_._1)))
+        }
+        .toDF("archive_id", "payload")
+      graft.sources.ArchiveSource.explodeZip(zips).toDF()
+        .select(col("archive_id").as("zip_id"), col("entry_name"), col("n_bytes"))
+        .orderBy("zip_id", "entry_name")
+    }),
+
+    // PPTX slide-text extraction (the reference's POI slide walk,
+    // PontusMSOfficePPTXReaderRecord.java:142-176), JDK-only: pptx = zip
+    // of DrawingML XML; text = <a:t> runs. Round-trips the document text
+    // exactly (XML escaping included) — SQL-checkable.
+    "pptx_slide_text" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 40)
+      val decks = d.select(floor(d("doc_id") / 4).as("deck_id"),
+        d("doc_id"), d("text"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (deck, it) =>
+          (deck, graft.sources.ArchiveSource.pptxBytes(
+            it.toSeq.sortBy(_._2).map(_._3)))
+        }
+        .toDF("archive_id", "payload")
+      graft.sources.ArchiveSource.pptxSlideText(decks).toDF()
+        .select(col("archive_id").as("deck_id"), col("slide_idx"),
+          col("text").as("slide_text"))
+        .orderBy("deck_id", "slide_idx")
+    }),
+
+    // Real decode behind the MediaDecoder seam: zip containers sniffed by
+    // magic and genuinely parsed (n_parts = entry count).
+    "multimodal_archive" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200)
+      val parts = d.select((d("doc_id") % 10).as("zip_id"),
+        concat(lit("doc"), d("doc_id").cast("string"), lit(".txt")).as("name"),
+        d("text").cast("binary").as("bytes"))
+      val zips = parts.as[(Long, String, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (zid, it) =>
+          (zid, graft.sources.ArchiveSource.zipBytes(
+            it.map(e => (e._2, e._3)).toSeq.sortBy(_._1)))
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.extractFeatures(zips, Multimodal.ArchiveDecoder).toDF()
+        .select(col("doc_id").as("archive_id"), col("format"), col("n_parts"))
+        .orderBy("archive_id")
+    }),
+
     // ================= multimodal plumbing =================
 
     "multimodal_features" -> ((s, dir) => {
@@ -1061,6 +1127,26 @@ object SparkEntry {
         |SELECT query_id, nbr_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "archive_explode" ->
+      """SELECT doc_id % 10 AS zip_id,
+        |  'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS entry_name,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY zip_id, entry_name""".stripMargin,
+
+    "pptx_slide_text" ->
+      """SELECT CAST(floor(doc_id / 4) AS BIGINT) AS deck_id,
+        |  CAST(doc_id % 4 + 1 AS INTEGER) AS slide_idx,
+        |  text AS slide_text
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY deck_id, slide_idx""".stripMargin,
+
+    "multimodal_archive" ->
+      """SELECT doc_id % 10 AS archive_id, 'zip' AS format,
+        |  CAST(count(*) AS INTEGER) AS n_parts
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY 1 ORDER BY archive_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads ride through the
   * engine as opaque `binary` columns with typed metadata, processed
   * batch-wise per partition. The Spark-side contract (schema, partition
-  * sizing, batch iteration) is real and tested; the actual media decode is
-  * STUBBED with a deterministic fake (this container ships no image/audio
-  * codecs) behind [[MediaDecoder]] — swap in a real decoder without
-  * touching the plumbing.
+  * sizing, batch iteration) is real and tested. Decode status per format:
+  * archive/zip containers (incl. pptx/xlsx/docx) decode for REAL —
+  * [[ArchiveDecoder]] here and [[graft.sources.ArchiveSource]] for entry
+  * explode + slide text, both JDK-only; image/audio pixel decode remains a
+  * deterministic STUB ([[StubDecoder]] — no codecs in this container),
+  * swappable behind [[MediaDecoder]] without touching the plumbing.
   *
   * Mirrors the reference's archive-explode sources
   * (`PontusMSOfficePSTReaderRecord.java:242-256`: Tika parse of an opaque
@@ -19,22 +21,28 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata extracted per media payload. */
+  /** Typed metadata extracted per media payload. `n_parts` is the number
+    * of decodable sub-records (zip entries, frames, pages) — 1 for
+    * monolithic formats.
+    */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       format: String,
       width: Int,
       height: Int,
-      checksum: Long)
+      checksum: Long,
+      n_parts: Int)
 
   /** The decode seam. Implementations MUST be pure per-blob functions. */
   trait MediaDecoder extends Serializable {
     def decode(id: Long, payload: Array[Byte]): MediaFeatures
   }
 
-  /** Deterministic fake decoder: derives pseudo-dimensions from content
-    * bytes. Replace with a codec-backed implementation in production.
+  /** Deterministic fake decoder for IMAGE payloads: derives
+    * pseudo-dimensions from content bytes (this container ships no image
+    * codecs — swap in a codec-backed implementation in production).
+    * Archive/container payloads have a REAL decoder: [[ArchiveDecoder]].
     */
   object StubDecoder extends MediaDecoder {
     def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
@@ -46,7 +54,34 @@ object Multimodal {
       MediaFeatures(id, n, fmt,
         width = 64 + (math.abs(crc) % 1024).toInt,
         height = 64 + (math.abs(crc >> 10) % 1024).toInt,
-        checksum = crc)
+        checksum = crc,
+        n_parts = 1)
+    }
+  }
+
+  /** REAL JDK-only decoder: format sniffed from magic bytes; zip
+    * containers (which pptx/xlsx/docx are) genuinely parsed —
+    * `n_parts` = entry count via a streaming zip read, `checksum` =
+    * CRC-32 of the payload. Image dimensions stay 0 (no image codecs in
+    * this container; that sub-seam remains documented-stub). Pairs with
+    * [[graft.sources.ArchiveSource]] for full entry explode.
+    */
+  object ArchiveDecoder extends MediaDecoder {
+    def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val fmt =
+        if (payload.length >= 4 && payload(0) == 'P' && payload(1) == 'K') "zip"
+        else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+          payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+        else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+          (payload(1) & 0xff) == 0xd8) "jpeg"
+        else "bin"
+      val parts =
+        if (fmt == "zip") graft.sources.ArchiveSource.zipEntries(payload).size
+        else 1
+      MediaFeatures(id, payload.length, fmt, width = 0, height = 0,
+        checksum = crc.getValue, n_parts = parts)
     }
   }
 

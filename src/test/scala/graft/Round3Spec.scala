@@ -261,6 +261,67 @@ class UpdateReqSpec extends SparkSpec {
   }
 }
 
+/** JDK-only archive explode: zip entry round-trip, pptx slide text, and
+  * the real decoder behind the MediaDecoder seam.
+  */
+class ArchiveSpec extends SparkSpec {
+  import graft.sources.ArchiveSource
+  import spark.implicits._
+
+  test("zip explode round-trips entry names, sizes, and bytes") {
+    val entries = Seq(
+      "a.txt" -> "hello world".getBytes("UTF-8"),
+      "dir/b.bin" -> Array.tabulate(1000)(i => (i % 251).toByte),
+      "empty.txt" -> Array.emptyByteArray)
+    val zip = ArchiveSource.zipBytes(entries)
+    val df = Seq((7L, zip), (8L, zip)).toDF("archive_id", "payload")
+    val out = ArchiveSource.explodeZip(df).collect()
+      .groupBy(_.archive_id).view.mapValues(_.sortBy(_.entry_name)).toMap
+    assert(out.keySet === Set(7L, 8L))
+    for (id <- Seq(7L, 8L)) {
+      val es = out(id)
+      assert(es.map(_.entry_name).toSeq === Seq("a.txt", "dir/b.bin", "empty.txt"))
+      assert(es.map(_.n_bytes).toSeq === Seq(11, 1000, 0))
+      assert(es(0).payload.toSeq === "hello world".getBytes("UTF-8").toSeq)
+      assert(es(1).payload.toSeq === entries(1)._2.toSeq)
+    }
+    // deterministic builder: same input -> same bytes
+    assert(ArchiveSource.zipBytes(entries).toSeq === zip.toSeq)
+  }
+
+  test("non-zip payloads yield zero entries (caller-side dead-letter via anti-join)") {
+    val df = Seq((1L, "not a zip at all".getBytes("UTF-8")),
+      (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("archive_id", "payload")
+    assert(ArchiveSource.explodeZip(df).count() === 0)
+  }
+
+  test("pptx slide text extracts in slide order with XML escaping round-trip") {
+    val texts = Seq("plain slide", "a & b <c> 'quoted' \"double\"", "tail")
+    val pptx = ArchiveSource.pptxBytes(texts)
+    val df = Seq((1L, pptx)).toDF("archive_id", "payload")
+    val got = ArchiveSource.pptxSlideText(df).collect().sortBy(_.slide_idx)
+    assert(got.map(_.slide_idx).toSeq === Seq(1, 2, 3))
+    assert(got.map(_.text).toSeq === texts)
+  }
+
+  test("ArchiveDecoder really parses zip containers (n_parts = entry count)") {
+    import graft.operators.Multimodal
+    val zip = ArchiveSource.zipBytes(Seq(
+      "x" -> "1".getBytes, "y" -> "22".getBytes, "z" -> "333".getBytes))
+    val f = Multimodal.ArchiveDecoder.decode(5L, zip)
+    assert(f.format === "zip" && f.n_parts === 3 && f.n_bytes === zip.length)
+    val crc = new java.util.zip.CRC32(); crc.update(zip)
+    assert(f.checksum === crc.getValue)
+    val binF = Multimodal.ArchiveDecoder.decode(6L, "plain".getBytes)
+    assert(binF.format === "bin" && binF.n_parts === 1)
+    // pptx is itself a zip container: sniffed and parsed as one
+    val pptx = ArchiveSource.pptxBytes(Seq("s1", "s2"))
+    val pf = Multimodal.ArchiveDecoder.decode(7L, pptx)
+    assert(pf.format === "zip" && pf.n_parts === 3) // content types + 2 slides
+  }
+}
+
 /** Hot-path hygiene regressions. */
 class HotPathSpec extends SparkSpec {
   import spark.implicits._
