@@ -363,6 +363,30 @@ object SparkEntry {
         .orderBy("from_id", "to_id")
     }),
 
+    // Edges END-TO-END through the MERGE kernel: per-batch edge emission
+    // merged into an edges LakeTable across 2 micro-batches with
+    // accumulating policies (n_obs adds, LSN range widens) — the final
+    // table equals the single-pass global aggregate.
+    "edges_merge_cdc" -> ((s, dir) => {
+      val table = LakeTable(scratchDir("graft-edges-q", dir))
+      val ev = s.read.parquet(t(dir, "events")).persist()
+      try {
+        (0L until 2L).foreach { b =>
+          val part = ev.filter(col("event_id") % 2 === b)
+          val edges = Edges.emit(part, "acted",
+            concat(lit("u"), part("user_id").cast("string")),
+            concat(lit("t-"), part("event_type")),
+            lsn = Some(part("event_id")))
+          MergeInto.apply(s, table, Edges.asChanges(edges, b), "edges", b,
+            MergeConfig(numBuckets = 8, columnPolicy = Edges.mergePolicies,
+              initialSchema = Some(Edges.tableSchema)))
+        }
+        table.read(s)
+          .select("edge_label", "from_id", "to_id", "n_obs", "min_lsn", "max_lsn")
+          .orderBy("from_id", "to_id")
+      } finally ev.unpersist()
+    }),
+
     // ================= routing (QueryRecord / RouteOnAttribute) =========
 
     "route_filter" -> ((s, dir) => {
@@ -893,6 +917,16 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "edges_emit" ->
+      """SELECT 'acted' AS edge_label,
+        |  'u' || CAST(user_id AS VARCHAR) AS from_id,
+        |  't-' || event_type AS to_id,
+        |  count(*) AS n_obs,
+        |  min(event_id) AS min_lsn, max(event_id) AS max_lsn
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY from_id, to_id""".stripMargin,
+
+    "edges_merge_cdc" ->
       """SELECT 'acted' AS edge_label,
         |  'u' || CAST(user_id AS VARCHAR) AS from_id,
         |  't-' || event_type AS to_id,

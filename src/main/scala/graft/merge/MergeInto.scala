@@ -57,6 +57,17 @@ object ColumnPolicy {
   case object ExcludeFromUpdate extends ColumnPolicy
   /** A null incoming value keeps the stored one (sparse updates). */
   case object CoalesceExisting extends ColumnPolicy
+  /** Accumulating policies for metric-bearing rows (edge observation
+    * counts / LSN ranges, the reference's incremental edge upserts,
+    * `flow.xml:1298-1307`): a genuine update folds the incoming value
+    * into the stored one instead of replacing it. Correct across batches
+    * because batch LSNs are monotone per key and the exactly-once ledger
+    * prevents a replayed batch from folding twice; a genuinely STALE
+    * change (lower LSN than stored) is dropped, not folded.
+    */
+  case object AddExisting extends ColumnPolicy
+  case object MinExisting extends ColumnPolicy
+  case object MaxExisting extends ColumnPolicy
 }
 
 final case class MergeConfig(
@@ -72,7 +83,13 @@ final case class MergeConfig(
       * manifest's batch floor (exact idempotence at O(retention) manifest
       * bytes — see [[graft.table.Manifest]]).
       */
-    ledgerRetention: Int = 1024)
+    ledgerRetention: Int = 1024,
+    /** Logical schema a FRESH table starts from (defaults to the
+      * tokenized-sequence shape). Non-seq-shaped tables — e.g. an edges
+      * table keyed by edge key — pass their own base so evolution doesn't
+      * graft the seq columns onto them.
+      */
+    initialSchema: Option[StructType] = None)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -237,7 +254,9 @@ object MergeInto {
     // Logical table columns = seq-table shape + any extra change columns
     // seen so far (ADD COLUMN), types widened per the lattice. `op` stays
     // feed-only.
-    val tableSchema = current.map(_.schema).getOrElse(Schemas.seqTable)
+    val tableSchema = current.map(_.schema)
+      .orElse(cfg.initialSchema)
+      .getOrElse(Schemas.seqTable)
     val incomingAsTable = StructType(
       batch.schema.fields.filterNot(_.name == "op").toIndexedSeq)
     val evolved = SchemaEvolution.evolve(tableSchema, incomingAsTable)
@@ -319,6 +338,12 @@ object MergeInto {
             when(genuineUpdate, col(s"t.$c")).otherwise(base)
           case ColumnPolicy.CoalesceExisting =>
             when(genuineUpdate, coalesce(col(s"c.$c"), col(s"t.$c"))).otherwise(base)
+          case ColumnPolicy.AddExisting =>
+            when(genuineUpdate, col(s"t.$c") + col(s"c.$c")).otherwise(base)
+          case ColumnPolicy.MinExisting =>
+            when(genuineUpdate, least(col(s"t.$c"), col(s"c.$c"))).otherwise(base)
+          case ColumnPolicy.MaxExisting =>
+            when(genuineUpdate, greatest(col(s"t.$c"), col(s"c.$c"))).otherwise(base)
         }
       }
       joined.select(

@@ -261,6 +261,52 @@ class UpdateReqSpec extends SparkSpec {
   }
 }
 
+/** Edges end-to-end through the MERGE kernel: accumulate across batches,
+  * exactly-once under replay.
+  */
+class EdgesMergeSpec extends SparkSpec {
+  import graft.operators.Edges
+  import spark.implicits._
+
+  test("edge batches fold into the edges table; replayed batch doesn't double-count") {
+    val work = tmpDir("lake-edges")
+    val table = LakeTable(s"$work/t")
+    val cfg = MergeConfig(numBuckets = 4, columnPolicy = Edges.mergePolicies,
+      initialSchema = Some(Edges.tableSchema))
+    val rows = Seq(
+      (1L, "u1", "e1"), (2L, "u1", "e1"), (3L, "u2", "e1"), // batch 0
+      (4L, "u1", "e1"), (5L, "u3", "e2"))                   // batch 1
+    val df = rows.toDF("lsn", "u", "e")
+    // INTERLEAVED split (batch 1's max data-LSN for u1-e1 is BELOW batch
+    // 0's): batch 0 = odd lsns {1,3,5}, batch 1 = even {2,4} — the case
+    // that breaks a data-LSN merge version and requires the batch-seq one
+    def edgesOf(part: DataFrame, b: Long) =
+      Edges.asChanges(Edges.emit(part, "acted", col("u"), col("e"), Some(col("lsn"))), b)
+    MergeInto.apply(spark, table, edgesOf(df.filter(col("lsn") % 2 === 1), 0), "ed", 0, cfg)
+    MergeInto.apply(spark, table, edgesOf(df.filter(col("lsn") % 2 === 0), 1), "ed", 1, cfg)
+    // replay batch 1: ledger skip, no double fold
+    val r = MergeInto.apply(spark, table,
+      edgesOf(df.filter(col("lsn") % 2 === 0), 1), "ed", 1, cfg)
+    assert(r.skipped)
+
+    val got = table.read(spark)
+      .select("edge_label", "from_id", "to_id", "n_obs", "min_lsn", "max_lsn")
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // u1-e1: seen in both batches -> counts add, lsn range widens
+    assert(got(("u1", "e1")) === ((3L, 1L, 4L)))
+    assert(got(("u2", "e1")) === ((1L, 3L, 3L)))
+    assert(got(("u3", "e2")) === ((1L, 5L, 5L)))
+    // matches the single-pass global aggregate exactly
+    val global = Edges.emit(df, "acted", col("u"), col("e"), Some(col("lsn")))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === global)
+    // edges table schema is edge-shaped (no grafted seq columns)
+    assert(!table.read(spark).columns.contains("tokens"))
+  }
+}
+
 /** Bounded streaming LWW state: idle keys (and delete fences) evict after
   * the TTL; LWW answers stay exact inside the TTL window.
   */
