@@ -179,12 +179,18 @@ object Bench {
     val result =
       try {
         val pb = new ProcessBuilder(cmd.asJava)
+        // child stderr -> temp file, NOT a pipe read after stdout EOF:
+        // Spark logs to stderr, and a child blocked on a full ~64 KB
+        // stderr pipe never exits, deadlocking the whole bench
+        val errFile = java.io.File.createTempFile("graft-bench-child", ".err")
         pb.redirectErrorStream(false)
+        pb.redirectError(errFile)
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        val err = p.getErrorStream.readAllBytes()
         val rc = p.waitFor()
+        val err = java.nio.file.Files.readAllBytes(errFile.toPath)
+        errFile.delete()
         if (sys.env.contains("GRAFT_MERGE_TIMING"))
           new String(err, java.nio.charset.StandardCharsets.UTF_8)
             .linesIterator.filter(_.contains("[merge-timing]"))
@@ -266,10 +272,17 @@ object Bench {
     // against what the host can physically deliver).
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq.distinct
-    // 2 reps by default: 8 child JVMs (3 levels + skew, x2) keeps the
-    // whole bench inside the ~13-minute round-1 envelope on a quiet host
-    // while still giving best-of-2 protection against a loaded minute
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // reps: 3 on the scaling-evidence pair (the two LOWEST levels — 2->8
+    // is the north-rule N->4N evidence; BENCH_r02's reps=2 was too thin:
+    // one loaded minute flipped the driver-read efficiency from 0.81 to
+    // 0.66), 2 on the top level (headline), 1 on the skew variant —
+    // keeps the child-JVM count at 9 vs round-2's 8, inside the round
+    // envelope
+    val repsOverride = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+    val scalingPair = levels.sorted.take(2).toSet
+    def repsFor(level: Int): Int =
+      repsOverride.getOrElse(if (scalingPair.contains(level)) 3 else 2)
+    val skewReps = repsOverride.getOrElse(1)
     val doSkew = !sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")
 
     var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)
@@ -288,11 +301,13 @@ object Bench {
 
       // interleave reps across levels so host drift is shared evenly;
       // the Zipf-skew replay joins the rotation at the top level so it
-      // gets the same best-of-reps treatment
+      // gets the same isolation treatment
       val skewLevel = levels.max
+      val maxReps = (levels.map(repsFor) :+ skewReps).max
       val runs = for {
-        r <- 1 to reps
-        l <- levels.map(Some(_)) ++ (if (doSkew) Seq(None) else Nil)
+        r <- 1 to maxReps
+        l <- levels.filter(l => repsFor(l) >= r).map(Some(_)) ++
+          (if (doSkew && skewReps >= r) Seq(None) else Nil)
       } yield (r, l)
       val results = runs.map { case (r, lOpt) =>
         val (l, feedDir, tag, label) = lOpt match {
@@ -324,15 +339,36 @@ object Bench {
     }
 
     // ---- phase 2: headline operator queries ---------------------------
+    // One timed pass over every query, then a SECOND timed run of the
+    // most expensive tail (top 5 by first-pass seconds), reporting the
+    // min: this host's contention is one-sided noise, and a single-shot
+    // long query is exactly where a loaded minute prints a 4x outlier
+    // (BENCH_r02: cdc_time_travel 61 s vs its 16 s structural sibling
+    // cdc_merge_policy). A best-of-2 on the tail bounds that distortion
+    // at ~1 extra minute of bench time.
     val queryTimes = if (mode == "cdc") Seq.empty else {
       val s = newSession(cpus, s"$work/spark-local-q")
-      val ts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def timeOne(name: String,
+          fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(s, sfDir).count(); true }
         catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        log(f"query $name: $dt%.2f s${if (ok) "" else " FAILED"}")
-        name -> (if (ok) dt else -1.0)
+        if (ok) dt else -1.0
+      }
+      val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val dt = timeOne(name, fn)
+        log(f"query $name: $dt%.2f s${if (dt < 0) " FAILED" else ""}")
+        (name, fn, dt)
+      }
+      val expensive = first.filter(_._3 > 0).sortBy(-_._3).take(5).map(_._1).toSet
+      val ts = first.map { case (name, fn, dt) =>
+        if (!expensive.contains(name)) name -> dt
+        else {
+          val dt2 = timeOne(name, fn)
+          log(f"query $name rep2: $dt2%.2f s (first $dt%.2f s)")
+          name -> (if (dt2 > 0) math.min(dt, dt2) else dt)
+        }
       }
       s.stop()
       ts
@@ -417,12 +453,14 @@ object Bench {
         s""""engine_vs_membw":${f(if (hm > 0) e / hm else 0.0)}}"""
     }.mkString("{", ",", "}")
     val headline = levels.sorted.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
+    val repsJson = levels.sorted.map(l => s""""local$l":${repsFor(l)}""")
+      .mkString("{", ",", s""","skew":$skewReps}""")
     val cdc =
-      s"""{"events":$nEvents,"reps":$reps,"estimator":"best of reps (one-sided host noise)","isolation":"one JVM per timed replay",""" +
+      s"""{"events":$nEvents,"reps":$repsJson,"estimator":"best of reps (one-sided host noise)","isolation":"one JVM per timed replay",""" +
         s""""rates":$rateJson,"scaling_efficiency":$effPairs,""" +
         s""""events_per_sec_headline":${f(headline)},""" +
         s""""events_per_sec_zipf1.1":${f(skewRate)}}"""
-    println(s"""{"metric":"graft cdc merge throughput (events/sec at local[${levels.mkString("],local[")}], best of $reps JVM-isolated reps) + operator query times","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
+    println(s"""{"metric":"graft cdc merge throughput (events/sec at local[${levels.mkString("],local[")}], best-of-reps JVM-isolated: 3 reps on the scaling pair) + operator query times (best of 2 for the expensive tail)","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
     // free the (possibly tmpfs) work dir
     rmr(new java.io.File(work))
   }
