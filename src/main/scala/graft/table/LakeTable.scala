@@ -110,6 +110,25 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * exists (local FS and HDFS), so exactly one writer wins each version.
   * Works identically on a 1000-executor cluster over HDFS/S3A-with-rename
   * semantics and on local[N].
+  *
+  * == Scale path: manifest list ==
+  * Each manifest stores the FULL file listing as one JSON document, so
+  * every commit rewrites O(files) metadata. That is fine while compaction
+  * bounds the file count (~numBuckets files; at numBuckets = 2^14 and
+  * ~100 bytes/entry a manifest is ~2 MB — a per-commit cost the multi-
+  * second batch interval absorbs), but it becomes the bottleneck when
+  * file count grows past ~10^5 (more buckets, retained snapshots, slow
+  * compaction). The upgrade is the Iceberg-style split: the per-version
+  * document becomes a MANIFEST LIST of immutable per-bucket-range
+  * manifest files (each listing its buckets' files + stats), and a commit
+  * rewrites only the manifest files whose buckets the batch touched plus
+  * the small list — O(touched buckets + 1) metadata I/O, unchanged CAS.
+  * Readers prune at the list level by bucket/LSN range before opening
+  * per-range manifests. Nothing in the public API changes; `Manifest`
+  * becomes the list head and `files` a lazy concatenation. Not built this
+  * round: at the tested scales the single-document rewrite is below
+  * measurement noise (see BENCH.md), and bucket-subset compaction keeps
+  * file counts bounded.
   */
 final class LakeTable private (val root: String, val conf: Configuration) {
 

@@ -261,6 +261,28 @@ class UpdateReqSpec extends SparkSpec {
   }
 }
 
+/** Plan evidence for the fuzzy catalog queries: the bounded levenshtein
+  * must run INSIDE an equi-join on the high-cardinality block key — never
+  * as a cartesian / nested-loop comparison.
+  */
+class FuzzyPlanSpec extends SparkSpec {
+  private def assertBlockedFuzzyPlan(name: String): Unit = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("levenshtein"), s"$name: fuzzy predicate missing")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"$name: fuzzy match must not plan as an all-pairs join:\n$plan")
+    assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(plan.contains), s"$name: expected a hash/merge equi-join")
+  }
+
+  test("match_fuzzy and rules_match_fuzzy plan as blocked equi-joins") {
+    assertBlockedFuzzyPlan("match_fuzzy")
+    assertBlockedFuzzyPlan("rules_match_fuzzy")
+  }
+}
+
 /** Edges end-to-end through the MERGE kernel: accumulate across batches,
   * exactly-once under replay.
   */
