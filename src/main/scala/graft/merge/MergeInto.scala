@@ -415,7 +415,13 @@ object MergeInto {
     // -- 7. per-bucket lineage stats from a COLUMNAR READ-BACK of the
     // staged output (reads only _bucket/_status/lsn; <= numBuckets result
     // rows; a fixed small plan that hits the codegen cache across batches)
-    val statRows = timed("lineage-readback")(spark.read.parquet(staging)
+    // explicit read schema: skips the per-batch driver-side footer
+    // schema-merge of the freshly staged files (a fixed per-batch cost
+    // that does not scale with executors)
+    val readbackSchema = StructType(Seq(
+      StructField("lsn", LongType), StructField("_status", StringType),
+      StructField("_bucket", IntegerType)))
+    val statRows = timed("lineage-readback")(spark.read.schema(readbackSchema).parquet(staging)
       .groupBy(col("_bucket"))
       .agg(count(lit(1)).as("n"),
         min("lsn").as("minL"), max("lsn").as("maxL"),
