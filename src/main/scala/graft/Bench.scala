@@ -108,7 +108,7 @@ object Bench {
     * parseable result line.
     */
   private def childMain(level: Int, work: String, feed: String,
-      warmFeed: String, tag: String): Unit = {
+      warmFeed: String, tag: String, bgSpin: Int): Unit = {
     val cfg = mergeCfgFromEnv()
     val spark = newSession(level, s"$work/spark-local-$tag")
     // warm-up 1: a small feed first — many quick small-batch iterations
@@ -143,9 +143,26 @@ object Bench {
     // (same-level repeats in one JVM are fine — the cross-LEVEL sharing
     // is what poisons measurements; see round-2 isolation analysis)
     val childReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_REPS", "3").toInt
-    val timed = (1 to childReps.max(1)).map { r =>
-      replay(spark, s"$feed/phase=0", s"$work/t-$tag-$r", s"cdc$tag$r", cfg)
+    // same-clock mode: keep `bgSpin` additional cores busy with a pure
+    // register spin during the timed replays, so a low-parallelism level
+    // runs in the SAME package clock regime as the high level it is
+    // compared against (2 active cores turbo well above the 8-active
+    // clock on this host, deflating raw 2->8 ratios; the spin touches no
+    // memory, so it does not contend for the bandwidth the merge uses)
+    @volatile var spinOn = bgSpin > 0
+    val spinners = (0 until bgSpin).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (spinOn) { x += x * 31 + 1 }
+        if (x == 42) print("")
+      })
+      t.setDaemon(true); t.start(); t
     }
+    val timed =
+      try (1 to childReps.max(1)).map { r =>
+        replay(spark, s"$feed/phase=0", s"$work/t-$tag-$r", s"cdc$tag$r", cfg)
+      }
+      finally { spinOn = false; spinners.foreach(_.join(1000)) }
     val (sec, perBatch) = timed.minBy(_._1)
     val gc = gcMillis()
     val jit = java.lang.management.ManagementFactory.getCompilationMXBean
@@ -166,7 +183,7 @@ object Bench {
     * in-process replay (fresh session, same JVM) if spawning fails.
     */
   private def runLevel(level: Int, work: String, feed: String,
-      warmFeed: String, tag: String): ChildResult = {
+      warmFeed: String, tag: String, bgSpin: Int = 0): ChildResult = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     import scala.jdk.CollectionConverters._
@@ -186,7 +203,7 @@ object Bench {
     }
     val cmd = Seq(javaBin) ++ inherited ++ gcFlags ++
       Seq("-cp", cp, "graft.Bench", "--replay-child",
-        level.toString, work, feed, warmFeed, tag)
+        level.toString, work, feed, warmFeed, tag, bgSpin.toString)
     val result =
       try {
         val pb = new ProcessBuilder(cmd.asJava)
@@ -243,8 +260,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--replay-child")) {
-      val Array(_, level, work, feed, warmFeed, tag) = args
-      childMain(level.toInt, work, feed, warmFeed, tag)
+      val Array(_, level, work, feed, warmFeed, tag, bgSpin) = args
+      childMain(level.toInt, work, feed, warmFeed, tag, bgSpin.toInt)
       return
     }
 
@@ -349,6 +366,7 @@ object Bench {
     var rateByLevel = Map.empty[Int, (Double, Double)] // level -> (rate, sec)
     var repsByLevel = Map.empty[Int, Seq[ChildResult]]
     var skewRate = 0.0
+    var sameclockRate = 0.0 // low level re-measured in the high level's clock regime
     if (mode != "queries") {
       // generate feeds once (deterministic content; generation not timed)
       locally {
@@ -392,6 +410,26 @@ object Bench {
         calibrate()
         roundResults
       }
+      // same-clock control for the scaling pair: the low level re-runs
+      // with (hi - lo) pure-register spin threads keeping the package in
+      // the high level's clock regime — isolates the turbo confound from
+      // genuine engine scaling (raw ratios stay primary; this ships as
+      // engine_sameclock alongside them)
+      if (scalingPair.size == 2 &&
+          !sys.env.get("SPARK_GRAFT_BENCH_SAMECLOCK").contains("0")) {
+        val lo = scalingPair.min
+        val hi = scalingPair.max
+        val res = runLevel(lo, work, s"$work/feed", s"$work/feed-warm",
+          "sameclock", bgSpin = hi - lo)
+        sameclockRate = nEvents / res.sec
+        log(f"local[$lo] same-clock (+${hi - lo} bg spinners): best ${res.sec}%.1f s" +
+          f" = $sameclockRate%.0f events/s " +
+          s"(samples ${res.samples.map(s => f"$s%.1f").mkString("/")} s)")
+        Option(new java.io.File(work).listFiles).foreach(_.foreach { d =>
+          if (d.getName.contains("sameclock")) rmr(d)
+        })
+      }
+
       skewRate = results.collect { case (None, res) => nEvents / res.sec }
         .maxOption.getOrElse(0.0)
       repsByLevel = results.collect { case (Some(l), res) => (l, res) }
@@ -469,10 +507,18 @@ object Bench {
         (rb._1 / ra._1) / (b.toDouble / a))).getOrElse(0.0)
       val h = (for {hb <- hw.get(b); ha <- hw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
       val hm = (for {hb <- hwBw.get(b); ha <- hwBw.get(a)} yield (hb / ha) / (b.toDouble / a)).getOrElse(0.0)
+      // same-clock engine efficiency for the scaling pair: high level's
+      // best rate vs the low level measured under the same clock regime
+      val sc =
+        if (sameclockRate > 0 && scalingPair == Set(a, b))
+          rateByLevel.get(b).map(rb => (rb._1 / sameclockRate) / (b.toDouble / a))
+            .getOrElse(0.0)
+        else 0.0
       s""""${a}_to_$b":{"engine":${f(e)},"hardware_ceiling_cpu":${f(h)},""" +
         s""""hardware_ceiling_membw":${f(hm)},""" +
         s""""engine_vs_hw":${f(if (h > 0) e / h else 0.0)},""" +
-        s""""engine_vs_membw":${f(if (hm > 0) e / hm else 0.0)}}"""
+        s""""engine_vs_membw":${f(if (hm > 0) e / hm else 0.0)}""" +
+        (if (sc > 0) s""","engine_sameclock":${f(sc)}""" else "") + "}"
     }.mkString("{", ",", "}")
     val headline = levels.sorted.lastOption.flatMap(rateByLevel.get).map(_._1).getOrElse(0.0)
     val repsJson = levels.sorted.map(l => s""""local$l":${repsFor(l)}""")
