@@ -490,6 +490,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // StringReplacer long tail: numeric-suffix increment, cron-syntax
+    // validation, CPU-affinity hex mask, longest common prefix.
+    "string_add_one" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val name = when(d("doc_id") % 11 === 0, lit("nodigits"))
+        .otherwise(concat(lit("file-"),
+          lpad((d("doc_id") % 103).cast("string"), 3, "0"),
+          lit(".part"), (d("doc_id") % 9).cast("string")))
+      d.select(d("doc_id"), name.as("name"),
+        Fns.replaceAddOne(name).as("next"))
+        .orderBy("doc_id")
+    }),
+
+    "cron_validate" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events")).filter(col("event_id") < 3000)
+      val cron = when(ev("event_id") % 4 === 0,
+        concat(lit("0 30 "), (ev("event_id") % 24).cast("string"), lit(" * * ?")))
+        .when(ev("event_id") % 4 === 1,
+          concat(lit("99 "), (ev("event_id") % 60).cast("string"), lit(" 12 * * ?")))
+        .when(ev("event_id") % 4 === 2, lit("0 15 10 ? JAN-MAR MON-FRI 2026"))
+        .otherwise(lit("not a cron at all"))
+      ev.select(ev("event_id"), cron.as("cron"),
+        Fns.isValidCron(cron).as("is_valid"))
+        .orderBy("event_id")
+    }),
+
+    "cpu_mask_hex" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val cpus = when(d("doc_id") % 3 === 0,
+        concat(lit("0-"), (d("doc_id") % 4 + 1).cast("string")))
+        .when(d("doc_id") % 3 === 1, lit("0,2,4"))
+        .otherwise(concat(lit("1-2,"), (d("doc_id") % 20 + 10).cast("string")))
+      d.select(d("doc_id"), cpus.as("cpus"),
+        Fns.cpuListToHex(words = 1, hexDigits = 16)(cpus).as("mask"))
+        .orderBy("doc_id")
+    }),
+
+    "common_prefix" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      val a = concat(lit("doc-"), d("doc_id").cast("string"))
+      val b = concat(lit("doc-"), ((d("doc_id") + 1) % 500).cast("string"))
+      d.select(d("doc_id"),
+        Fns.greatestCommonPrefix(a, b).as("prefix"))
+        .orderBy("doc_id")
+    }),
+
     // ================= text analysis =================
 
     "text_token_count" -> ((s, dir) => {
@@ -1011,6 +1057,73 @@ object SparkEntry {
     "base64_content" ->
       """SELECT n_nationkey, to_base64(encode(n_name)) AS b64
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "string_add_one" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'nodigits'
+        |         ELSE 'file-' || lpad(CAST(doc_id % 103 AS VARCHAR), 3, '0')
+        |              || '.part' || CAST(doc_id % 9 AS VARCHAR) END AS name
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, name,
+        |    regexp_extract(name, '(\d+)(\D*)$', 1) AS num,
+        |    regexp_extract(name, '(\d+)(\D*)$', 2) AS tail
+        |  FROM n)
+        |SELECT doc_id, name,
+        |  CASE WHEN num = '' THEN name
+        |       ELSE substr(name, 1, len(name) - len(num) - len(tail))
+        |            || CASE WHEN len(CAST(CAST(num AS BIGINT) + 1 AS VARCHAR)) < len(num)
+        |                    THEN lpad(CAST(CAST(num AS BIGINT) + 1 AS VARCHAR),
+        |                              CAST(len(num) AS INTEGER), '0')
+        |                    ELSE CAST(CAST(num AS BIGINT) + 1 AS VARCHAR) END
+        |            || tail END AS next
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "cron_validate" -> {
+      val re = Fns.cronRegex
+      s"""WITH c AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 4 = 0
+         |           THEN '0 30 ' || CAST(event_id % 24 AS VARCHAR) || ' * * ?'
+         |         WHEN event_id % 4 = 1
+         |           THEN '99 ' || CAST(event_id % 60 AS VARCHAR) || ' 12 * * ?'
+         |         WHEN event_id % 4 = 2 THEN '0 15 10 ? JAN-MAR MON-FRI 2026'
+         |         ELSE 'not a cron at all' END AS cron
+         |  FROM events WHERE event_id < 3000)
+         |SELECT event_id, cron, regexp_matches(cron, '$re') AS is_valid
+         |FROM c ORDER BY event_id""".stripMargin
+    },
+
+    "cpu_mask_hex" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '0-' || CAST(doc_id % 4 + 1 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN '0,2,4'
+        |         ELSE '1-2,' || CAST(doc_id % 20 + 10 AS VARCHAR) END AS cpus
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, cpus,
+        |    flatten(list_transform(string_split(cpus, ','), p ->
+        |      CASE WHEN contains(p, '-')
+        |           THEN range(CAST(string_split(p, '-')[1] AS INTEGER),
+        |                      CAST(string_split(p, '-')[2] AS INTEGER) + 1)
+        |           ELSE [CAST(p AS INTEGER)] END)) AS bits
+        |  FROM c)
+        |SELECT doc_id, cpus,
+        |  lower(lpad(to_hex(CAST(list_sum(list_transform(bits,
+        |    x -> CAST(power(2, x) AS BIGINT))) AS BIGINT)), 16, '0')) AS mask
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "common_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS a,
+        |         'doc-' || CAST((doc_id + 1) % 500 AS VARCHAR) AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(a, 1, list_max(list_filter(range(0, least(len(a), len(b)) + 1),
+        |    i -> substr(a, 1, i) = substr(b, 1, i)))) AS prefix
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
       s"""SELECT doc_id,

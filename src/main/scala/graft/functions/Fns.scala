@@ -63,6 +63,96 @@ object Fns {
     if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
   }
 
+  /** Increment the LAST run of digits in a string, preserving its
+    * zero-padded width when the incremented value still fits (the
+    * reference's `replaceAddOne`, `StringReplacer.java:397-442`:
+    * "file-007" -> "file-008", "v9" -> "v10", no digits -> unchanged).
+    * Pure columns — no UDF.
+    */
+  def replaceAddOne(c: Column): Column = {
+    val tailPat = "(\\d+)(\\D*)$"
+    val num = regexp_extract(c, tailPat, 1)
+    val tail = regexp_extract(c, tailPat, 2)
+    val prefix = c.substr(lit(1), length(c) - length(num) - length(tail))
+    val inc = (num.cast("long") + 1).cast("string")
+    // lpad TRUNCATES when the value outgrows the width — only pad when
+    // the increment still fits the original digit-run width
+    val padded = when(length(inc) < length(num), lpad(inc, length(num), lit("0")))
+      .otherwise(inc)
+    when(num === "", c).otherwise(concat(prefix, padded, tail))
+  }
+
+  /** Quartz-style cron-syntax validation regex (the reference's
+    * generated cron regex, `StringReplacer.java:444-504`): 7 fields
+    * (sec min hour day month dow [year]), `?`/`*`, ranges, steps,
+    * lists, JAN–DEC / MON–SUN names, the reference's L/W/# placements,
+    * plus its comment/blank/`key =` line forms. RE2-safe (no
+    * lookaround) so the identical pattern runs in the DuckDB oracle.
+    */
+  val cronRegex: String = {
+    def field(num: String, listSeps: String = "", suffix: String = ""): String = {
+      val r = s"(?:$num)(?:(?:-|/|,$listSeps)(?:$num))?$suffix"
+      s"\\?|\\*|$r(?:,$r)*"
+    }
+    def named(base: String, names: String): String = {
+      val r = s"(?:$names)(?:(?:-)(?:$names))?"
+      s"$base|\\?|\\*|$r(?:,$r)*"
+    }
+    val sec = field("[0-5]?\\d")
+    val min = field("[0-5]?\\d")
+    val hour = field("[01]?\\d|2[0-3]")
+    val day = field("0?[1-9]|[12]\\d|3[01]")
+    val month = named(field("[1-9]|1[012]", suffix = "(?:L|W)?"),
+      "JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC")
+    val dow = named(field("[0-6]", listSeps = "|#", suffix = "(?:L)?"),
+      "MON|TUE|WED|THU|FRI|SAT|SUN")
+    val year = "|\\d{4}"
+    s"^\\s*($$|#|\\w+\\s*=|($sec)\\s+($min)\\s+($hour)\\s+($day)\\s+($month)\\s+($dow)(|\\s)+($year)$$)"
+  }
+
+  /** True when the column matches [[cronRegex]]. */
+  def isValidCron(c: Column): Column = c.rlike(cronRegex)
+
+  /** CPU-list string ("0-3,8,12-14") -> hex affinity mask of `words`
+    * 64-bit words, most-significant word first, each word zero-padded to
+    * `hexDigits` and comma-separated — the reference's
+    * `convertCPUListToHex` (`StringReplacer.java:506-550`).
+    * Deterministic UDF (config-string parsing, never a hot path).
+    */
+  def cpuListToHex(words: Int = 1, hexDigits: Int = 16): Column => Column = {
+    val u = udf { (csv: String) =>
+      if (csv == null) null
+      else {
+        val data = new Array[Long](words)
+        csv.split(",").iterator.map(_.trim).filter(_.nonEmpty).foreach { part =>
+          val (lo, hi) = part.split("-") match {
+            case Array(a, b) => (a.trim.toInt, b.trim.toInt)
+            case Array(a) => (a.toInt, a.toInt)
+            case _ => throw new IllegalArgumentException(s"bad cpu list: $csv")
+          }
+          (lo to hi).foreach { bit => data(bit / 64) |= (1L << (bit % 64)) }
+        }
+        data.reverseIterator
+          .map(w => {
+            val h = java.lang.Long.toHexString(w)
+            ("0" * math.max(0, hexDigits - h.length)) + h
+          })
+          .mkString(",")
+      }
+    }
+    c => u(c)
+  }
+
+  /** Longest common prefix of two string columns (the reference's
+    * `greatestCommonPrefix`, `StringReplacer.java:35-55`). Pure columns.
+    */
+  def greatestCommonPrefix(a: Column, b: Column): Column = {
+    val maxLen = least(length(a), length(b))
+    val common = array_max(filter(sequence(lit(0), maxLen),
+      i => a.substr(lit(1), i) === b.substr(lit(1), i)))
+    a.substr(lit(1), common)
+  }
+
   // ---- record serialization (reference CSVToJSONProcessor.java:30-256) --
 
   /** One CSV-ish record -> JSON object of all columns (the C12 conversion,

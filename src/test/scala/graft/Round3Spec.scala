@@ -261,6 +261,59 @@ class UpdateReqSpec extends SparkSpec {
   }
 }
 
+/** StringReplacer long tail (reference StringReplacer.java:35-55,397-550):
+  * numeric-suffix increment, cron validation, CPU hex mask, common prefix.
+  */
+class StringUtilSpec extends SparkSpec {
+  import graft.functions.Fns
+  import org.apache.spark.sql.Column
+  import spark.implicits._
+
+  private def one(fn: Column => Column, s: String): String =
+    Seq(s).toDF("v").select(fn(col("v"))).head().getString(0)
+
+  test("replaceAddOne increments the last digit run, preserving padding") {
+    assert(one(Fns.replaceAddOne, "file-007") === "file-008")
+    assert(one(Fns.replaceAddOne, "v9") === "v10")
+    assert(one(Fns.replaceAddOne, "a99b") === "a100b")
+    assert(one(Fns.replaceAddOne, "x-099.txt") === "x-100.txt")
+    assert(one(Fns.replaceAddOne, "12-abc-34-def") === "12-abc-35-def")
+    assert(one(Fns.replaceAddOne, "nodigits") === "nodigits")
+  }
+
+  test("cron regex accepts the quartz forms and rejects out-of-range fields") {
+    def valid(s: String): Boolean =
+      Seq(s).toDF("v").select(Fns.isValidCron(col("v"))).head().getBoolean(0)
+    assert(valid("0 30 12 * * ?"))
+    assert(valid("0/5 14 * * * ?"))
+    assert(valid("0 15 10 ? JAN-MAR MON-FRI 2026"))
+    assert(valid("59 59 23 31 12 6"))
+    assert(valid("# a comment line"))
+    assert(valid("key = value"))
+    assert(!valid("99 0 12 * * ?"))   // seconds out of range
+    assert(!valid("0 30 25 * * ?"))   // hour out of range
+    assert(!valid("0 30 12 40 * ?"))  // day out of range
+    assert(!valid("not a cron at all"))
+  }
+
+  test("cpuListToHex sets range and list bits across words") {
+    assert(one(Fns.cpuListToHex(1, 16), "0-3") === "000000000000000f")
+    assert(one(Fns.cpuListToHex(1, 16), "0,2,4") === "0000000000000015")
+    assert(one(Fns.cpuListToHex(1, 4), "8") === "0100")
+    // bit 70 lands in the second 64-bit word (most significant printed first)
+    assert(one(Fns.cpuListToHex(2, 16), "1,70") ===
+      "0000000000000040,0000000000000002")
+  }
+
+  test("greatestCommonPrefix") {
+    val got = Seq(("doc-12", "doc-19"), ("same", "same"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(Fns.greatestCommonPrefix(col("a"), col("b")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("doc-1", "same", ""))
+  }
+}
+
 /** Plan evidence for the fuzzy catalog queries: the bounded levenshtein
   * must run INSIDE an equi-join on the high-cardinality block key — never
   * as a cartesian / nested-loop comparison.
