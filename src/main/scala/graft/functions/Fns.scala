@@ -107,7 +107,11 @@ object Fns {
     val dow = named(field("[0-6]", listSeps = "|#", suffix = "(?:L)?"),
       "MON|TUE|WED|THU|FRI|SAT|SUN")
     val year = "|\\d{4}"
-    s"^\\s*($$|#|\\w+\\s*=|($sec)\\s+($min)\\s+($hour)\\s+($day)\\s+($month)\\s+($dow)(|\\s)+($year)$$)"
+    // the end anchor sits OUTSIDE the outer alternation (the reference
+    // appends `$` after the whole group): under find semantics an inner
+    // anchor would let the `#` / `key =` / empty alternatives match any
+    // string with that prefix ('# anything', 'key = garbage trailing')
+    s"^\\s*($$|#|\\w+\\s*=|($sec)\\s+($min)\\s+($hour)\\s+($day)\\s+($month)\\s+($dow)(|\\s)+($year))$$"
   }
 
   /** True when the column matches [[cronRegex]]. */
@@ -130,7 +134,12 @@ object Fns {
             case Array(a) => (a.toInt, a.toInt)
             case _ => throw new IllegalArgumentException(s"bad cpu list: $csv")
           }
-          (lo to hi).foreach { bit => data(bit / 64) |= (1L << (bit % 64)) }
+          // out-of-range bits silently truncate, matching the reference's
+          // setDataMask ("truncate if we don't have enough hex bytes")
+          // instead of failing the whole job on an oversized CPU list
+          (lo to hi).foreach { bit =>
+            if (bit / 64 < words) data(bit / 64) |= (1L << (bit % 64))
+          }
         }
         data.reverseIterator
           .map(w => {

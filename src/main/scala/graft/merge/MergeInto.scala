@@ -220,20 +220,20 @@ object MergeInto {
     // `good` is two-valued by construction (coalesce over the three-valued
     // op membership test): a null op must land in the rejects, not vanish
     // from both sides of the split.
-    // Single-pass: the batch is cached once, the rejects write is the ONE
-    // extra action (an empty reject set writes an empty dir — cheaper than
-    // a separate isEmpty probe job every batch), and the merge's own
-    // stats/dedupe/join scans read the cache instead of re-reading the
-    // source. Unpersisted in the finally below.
+    // Single-pass: the batch is cached once, the reject COUNT rides the
+    // stats pre-pass below (no extra probe job), the rejects write runs
+    // only when rejects exist (an all-good batch must not leave a
+    // _SUCCESS-only empty dir that breaks downstream schema inference),
+    // and the merge's own stats/dedupe/join scans read the cache instead
+    // of re-reading the source. Unpersisted in the finally below, which
+    // also covers a throwing rejects write.
+    val goodPred = col("doc_id").isNotNull && col("lsn").isNotNull &&
+      coalesce(col("op").isInCollection(Ops.all), lit(false))
     val (batch, cachedBatch) = cfg.deadLetterDir match {
       case None => (batch0, None)
-      case Some(dir) =>
+      case Some(_) =>
         val cached = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val good = col("doc_id").isNotNull && col("lsn").isNotNull &&
-          coalesce(col("op").isInCollection(Ops.all), lit(false))
-        cached.filter(!good).write.mode("overwrite")
-          .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
-        (cached.filter(good), Some(cached))
+        (cached.filter(goodPred), Some(cached))
     }
     try {
 
@@ -263,16 +263,27 @@ object MergeInto {
 
     // -- 2. ONE pre-pass over the batch: touched buckets, per-bucket raw
     // counts, distinct keys (== post-dedupe rows), LSN ranges. Partial-
-    // aggregable, <= numBuckets result rows.
+    // aggregable, <= numBuckets (+1 reject group) result rows. In
+    // dead-letter mode the scan runs over the CACHED unfiltered frame with
+    // a `_good` flag so the reject count comes out of the same job.
     val bucketOf: Column => Column =
       k => pmod(xxhash64(k), lit(numBuckets.toLong)).cast("int")
-    val batchStats = timed("batch-stats")(batch
-      .groupBy(bucketOf(col("doc_id")).as("_bucket"))
+    val rawStats = timed("batch-stats")(cachedBatch.getOrElse(batch)
+      .groupBy((if (cachedBatch.isDefined) goodPred else lit(true)).as("_good"),
+        bucketOf(col("doc_id")).as("_bucket"))
       .agg(count(lit(1)).as("n_raw"),
         min("lsn").as("minL"), max("lsn").as("maxL"))
       .collect())
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val batchStats = rawStats.filter(_.getBoolean(0))
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap // bucket -> (n_raw, minL, maxL)
+    val rejectCount = rawStats.filterNot(_.getBoolean(0)).map(_.getLong(2)).sum
+    if (rejectCount > 0) cfg.deadLetterDir.foreach { dir =>
+      // before the commit (a crash between commit and a later rejects
+      // write would skip them on replay), idempotent overwrite path
+      cachedBatch.get.filter(!goodPred).write.mode("overwrite")
+        .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
+    }
     val touched: Set[Int] = batchStats.keySet
 
     if (touched.isEmpty) {

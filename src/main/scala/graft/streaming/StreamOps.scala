@@ -25,20 +25,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).as("total_value"))
 
+  /** Default state-eviction slack: far above any sane feed's out-of-order
+    * LSN delay, yet it still bounds state at 10^10-event scale (state ~
+    * keys written in the last 2 x 10^7 LSNs, not all keys ever).
+    */
+  val DefaultFenceSlackLsns: Long = 10000000L
+
   /** Continuously-updated last-writer-wins state per doc_id: each
     * micro-batch emits the keys whose winning event changed. State =
     * highest-LSN event seen; deletes remain in state as fences (the
     * streaming analog of the table tombstone) and emit op=D rows so sinks
     * can remove.
     *
-    * `fenceSlackLsns` bounds the state store — without it, at 10^9+ keys
-    * the per-key state (and every delete fence) lives forever and the
-    * store grows without bound. With it, LSNs double as event time
-    * (1 LSN = 1 second) under a watermark of `fenceSlackLsns`, and a key
-    * evicts once the feed has advanced `2 x slack` LSNs past the key's
-    * last write: the streaming analog of the table's tombstone watermark,
-    * with the SAME caller contract — the slack must exceed the feed's
-    * maximum out-of-order LSN delay, because after eviction a
+    * `fenceSlackLsns` bounds the state store — BOUNDED BY DEFAULT
+    * ([[DefaultFenceSlackLsns]]): at 10^9+ keys an unbounded store keeps
+    * every key (and every delete fence) forever; a caller who genuinely
+    * wants that must say so via [[lwwStateUnbounded]]. LSNs double as
+    * event time (1 LSN = 1 second) under a watermark of `fenceSlackLsns`,
+    * and a key evicts once the feed has advanced `2 x slack` LSNs past the
+    * key's last write: the streaming analog of the table's tombstone
+    * watermark, with the SAME caller contract — the slack must exceed the
+    * feed's maximum out-of-order LSN delay, because after eviction a
     * late-arriving older event for that key would be accepted as a fresh
     * winner (exactly as a compacted table accepts a sub-watermark
     * straggler). Inside the slack window LWW answers stay exact. Keyed to
@@ -46,7 +53,18 @@ object StreamOps {
     * idle stream evicts nothing (no silent fence loss during an outage).
     */
   def lwwState(events: Dataset[ChangeEvent],
-      fenceSlackLsns: Option[Long] = None): Dataset[ChangeEvent] = {
+      fenceSlackLsns: Long = DefaultFenceSlackLsns): Dataset[ChangeEvent] =
+    lwwStateImpl(events, Some(fenceSlackLsns))
+
+  /** Explicit opt-out of state eviction: exact LWW over ALL keys ever
+    * seen. State grows with distinct-key count — only for feeds whose key
+    * universe is known to be bounded.
+    */
+  def lwwStateUnbounded(events: Dataset[ChangeEvent]): Dataset[ChangeEvent] =
+    lwwStateImpl(events, None)
+
+  private def lwwStateImpl(events: Dataset[ChangeEvent],
+      fenceSlackLsns: Option[Long]): Dataset[ChangeEvent] = {
     import events.sparkSession.implicits._
 
     def lwwStep(state: GroupState[ChangeEvent], batch: Iterator[ChangeEvent]) = {

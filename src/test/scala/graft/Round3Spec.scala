@@ -288,8 +288,14 @@ class StringUtilSpec extends SparkSpec {
     assert(valid("0/5 14 * * * ?"))
     assert(valid("0 15 10 ? JAN-MAR MON-FRI 2026"))
     assert(valid("59 59 23 31 12 6"))
-    assert(valid("# a comment line"))
-    assert(valid("key = value"))
+    // anchored AFTER the whole alternation like the reference's generated
+    // regex: the bare comment/assignment markers match, trailing content
+    // does not (round-4 anchoring fix — previously '# anything' passed)
+    assert(valid("#"))
+    assert(valid("key ="))
+    assert(valid(""))
+    assert(!valid("# a comment line"))
+    assert(!valid("key = value"))
     assert(!valid("99 0 12 * * ?"))   // seconds out of range
     assert(!valid("0 30 25 * * ?"))   // hour out of range
     assert(!valid("0 30 12 40 * ?"))  // day out of range
@@ -303,6 +309,10 @@ class StringUtilSpec extends SparkSpec {
     // bit 70 lands in the second 64-bit word (most significant printed first)
     assert(one(Fns.cpuListToHex(2, 16), "1,70") ===
       "0000000000000040,0000000000000002")
+    // out-of-range bits truncate silently (the reference's setDataMask
+    // semantics) instead of failing the job
+    assert(one(Fns.cpuListToHex(1, 16), "1,70") === "0000000000000002")
+    assert(one(Fns.cpuListToHex(1, 16), "60-70") === "f000000000000000")
   }
 
   test("greatestCommonPrefix") {
@@ -416,7 +426,7 @@ class LwwStateTtlSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", "false")
       .parquet(s"$dir/in/*")
-    val updates = StreamOps.lwwState(stream.as[ChangeEvent], Some(100L))
+    val updates = StreamOps.lwwState(stream.as[ChangeEvent], 100L)
     val q = updates.writeStream.outputMode("update")
       .format("memory").queryName("lww_ttl_out")
       .option("checkpointLocation", s"$dir/cp")
