@@ -289,7 +289,7 @@ object MergeInto {
     if (touched.isEmpty) {
       // empty batch: still record the ledger entry (exactly-once bookkeeping)
       return commitManifest(table, current, evolved, numBuckets,
-        current.map(_.files).getOrElse(Nil), ledgerKey, Nil, cfg.ledgerRetention)
+        Set.empty, Nil, ledgerKey, Nil, cfg.ledgerRetention)
     }
     // conservative broadcast decision: raw count >= deduped count
     val rawRows = batchStats.valuesIterator.map(_._1).sum
@@ -298,11 +298,11 @@ object MergeInto {
     val deduped = dedupeLatest(batch, cfg.saltFactor)
 
     // -- 4. read ONLY the touched buckets of the target -----------------
-    // (manifest file pruning: untouched buckets are carried over as-is,
-    // no I/O — the analog of the reference pushing its filter into the
-    // keyed store, `PontusIdGenerator.java:299`)
-    val existingFiles = current.map(_.files).getOrElse(Seq.empty[FileEntry])
-    val (touchedFiles, keptFiles) = existingFiles.partition(f => touched.contains(f.bucket))
+    // (manifest-LIST pruning: only the ranges the batch touches are even
+    // opened, untouched buckets carry over by reference with no metadata
+    // or data I/O — the analog of the reference pushing its filter into
+    // the keyed store, `PontusIdGenerator.java:299`)
+    val touchedFiles = current.map(m => table.filesOf(m, Some(touched))).getOrElse(Nil)
     val storedOld = storedSchema(tableSchema)
     val storedNew = storedSchema(evolved)
     def scanTarget(): DataFrame =
@@ -485,7 +485,7 @@ object MergeInto {
 
     cfg.preCommitHook()
     commitManifest(table, current, evolved, numBuckets,
-      keptFiles ++ newFiles, ledgerKey, lineage, cfg.ledgerRetention,
+      touched, newFiles, ledgerKey, lineage, cfg.ledgerRetention,
       snapshotId, nextVersion)
     } finally cachedBatch.foreach(_.unpersist(false))
   }
@@ -495,7 +495,8 @@ object MergeInto {
       current: Option[Manifest],
       schema: StructType,
       numBuckets: Int,
-      files: Seq[FileEntry],
+      touched: Set[Int],
+      newFiles: Seq[FileEntry],
       ledgerKey: String,
       lineage: Seq[graft.model.LineageRow],
       ledgerRetention: Int = 1024,
@@ -508,15 +509,23 @@ object MergeInto {
       current.map(_.ledger).getOrElse(Map.empty) + (ledgerKey -> snapshotId)
     val (ledger, floor) = Manifest.compactLedger(rawLedger,
       current.map(_.floorBatch).getOrElse(Map.empty), ledgerRetention.max(1))
+    // O(touched ranges + 1) metadata write: untouched ranges carry over
+    // by reference; a no-change commit (empty batch) reuses the parent's
+    // whole manifest list
+    val manifests =
+      if (touched.isEmpty && newFiles.isEmpty && current.exists(_.manifests.nonEmpty))
+        current.get.manifests
+      else table.composeManifests(current, touched, newFiles, numBuckets)
     val m = Manifest(
       version = version,
       snapshotId = snapshotId,
       parentSnapshotId = current.map(_.snapshotId),
       schemaJson = schema.json,
       numBuckets = numBuckets,
-      files = files,
+      files = Nil,
       ledger = ledger,
-      floorBatch = floor)
+      floorBatch = floor,
+      manifests = manifests)
     table.commit(m)
     MergeResult(snapshotId, version, lineage, skipped = false)
   }

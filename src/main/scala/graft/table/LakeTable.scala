@@ -25,7 +25,39 @@ final case class FileEntry(
     minLsn: Long,
     maxLsn: Long)
 
-/** A snapshot of the table: full file listing + schema + commit ledger.
+/** One immutable per-bucket-range manifest file referenced from a
+  * snapshot's manifest list: `path` is the file's name under `meta/`,
+  * `range` its bucket-range id (`LakeTable.rangeOf`), `minBucket`/
+  * `maxBucket` the range's bucket span and `minLsn`/`maxLsn`/`nFiles`/
+  * `rows` aggregate stats for list-level pruning — a reader (or an
+  * LSN-range scan) can skip whole ranges without opening them.
+  */
+final case class ManifestRef(
+    path: String,
+    range: Int,
+    minBucket: Int,
+    maxBucket: Int,
+    nFiles: Int,
+    rows: Long,
+    minLsn: Long,
+    maxLsn: Long)
+
+/** Content of one manifest file (kept as a wrapper object so the JSON
+  * stays self-describing and extensible).
+  */
+final case class ManifestFile(files: Seq[FileEntry])
+
+/** A snapshot of the table: manifest LIST + schema + commit ledger.
+  *
+  * The file listing lives in immutable per-bucket-range manifest files
+  * (`manifests`), Iceberg-style: a commit rewrites only the ranges its
+  * batch touched plus this small head document — O(touched ranges + 1)
+  * metadata I/O instead of O(all files) — and untouched ranges' manifest
+  * files are SHARED across snapshots, so retained time-travel history
+  * costs O(changed ranges), not O(files x snapshots). `files` is the
+  * legacy inline listing (pre-manifest-list snapshots deserialize into
+  * it); list-based snapshots leave it empty and readers go through
+  * `LakeTable.filesOf`.
   *
   * `ledger` maps "checkpointId/batchId" -> snapshotId and makes commits
   * idempotent under streaming replay: re-running a batch that already
@@ -50,7 +82,8 @@ final case class Manifest(
     numBuckets: Int,
     files: Seq[FileEntry],
     ledger: Map[String, String],
-    floorBatch: Map[String, Long] = Map.empty) {
+    floorBatch: Map[String, Long] = Map.empty,
+    manifests: Seq[ManifestRef] = Nil) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** Was (checkpointId, batchId) already committed? Exact under the
@@ -111,24 +144,25 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * Works identically on a 1000-executor cluster over HDFS/S3A-with-rename
   * semantics and on local[N].
   *
-  * == Scale path: manifest list ==
-  * Each manifest stores the FULL file listing as one JSON document, so
-  * every commit rewrites O(files) metadata. That is fine while compaction
-  * bounds the file count (~numBuckets files; at numBuckets = 2^14 and
-  * ~100 bytes/entry a manifest is ~2 MB — a per-commit cost the multi-
-  * second batch interval absorbs), but it becomes the bottleneck when
-  * file count grows past ~10^5 (more buckets, retained snapshots, slow
-  * compaction). The upgrade is the Iceberg-style split: the per-version
-  * document becomes a MANIFEST LIST of immutable per-bucket-range
-  * manifest files (each listing its buckets' files + stats), and a commit
-  * rewrites only the manifest files whose buckets the batch touched plus
-  * the small list — O(touched buckets + 1) metadata I/O, unchanged CAS.
+  * == Manifest list (the metadata scale path) ==
+  * The per-version document is a MANIFEST LIST: the head (`v*.json`)
+  * holds schema/ledger/stats plus references to immutable per-bucket-range
+  * manifest files (`m-*.json`, each listing its bucket range's data files
+  * + stats). A commit writes new manifest files ONLY for the ranges its
+  * batch touched and carries the rest by reference — O(touched ranges +
+  * 1) metadata I/O per commit instead of O(all files) — with the CAS
+  * unchanged (manifest files are orphans until the head rename wins).
   * Readers prune at the list level by bucket/LSN range before opening
-  * per-range manifests. Nothing in the public API changes; `Manifest`
-  * becomes the list head and `files` a lazy concatenation. Not built this
-  * round: at the tested scales the single-document rewrite is below
-  * measurement noise (see BENCH.md), and bucket-subset compaction keeps
-  * file counts bounded.
+  * per-range manifests ([[filesOf]]), and untouched ranges' manifest
+  * files are shared across retained snapshots, so time-travel history
+  * costs O(changed ranges) per snapshot. At 10^5+ files (numBuckets =
+  * 2^14, retained snapshots) the head stays a few KB and a trickle
+  * commit rewrites one range instead of a multi-MB listing. Bucket space
+  * splits into `min(numBuckets, 64)` ranges — fine enough that a
+  * 1-bucket commit rewrites ~1/64 of the metadata, coarse enough that a
+  * full-spread batch writes at most 64 small files. Pre-list snapshots
+  * (inline `files`) stay readable; their first post-upgrade commit
+  * migrates them to ranges.
   */
 final class LakeTable private (val root: String, val conf: Configuration) {
 
@@ -170,6 +204,99 @@ final class LakeTable private (val root: String, val conf: Configuration) {
       val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
       Serialization.read[Manifest](new String(bytes, StandardCharsets.UTF_8))
     } finally in.close()
+  }
+
+  // ---- manifest list ---------------------------------------------------
+
+  /** Data files of snapshot `m`, resolved through the manifest list with
+    * list-level pruning: when `buckets` is given, only manifest files
+    * whose bucket range intersects it are opened (and their entries
+    * filtered). Legacy inline-`files` snapshots resolve directly.
+    */
+  def filesOf(m: Manifest, buckets: Option[Set[Int]] = None): Seq[FileEntry] = {
+    val entries =
+      if (m.manifests.isEmpty) m.files
+      else {
+        val refs = buckets match {
+          case Some(bs) =>
+            m.manifests.filter(r => bs.exists(b => b >= r.minBucket && b <= r.maxBucket))
+          case None => m.manifests
+        }
+        refs.sortBy(_.range).flatMap(readManifestFile)
+      }
+    buckets match {
+      case Some(bs) => entries.filter(f => bs.contains(f.bucket))
+      case None => entries
+    }
+  }
+
+  /** Read one manifest file's entries (immutable content — cached JVM-wide
+    * by name, so a streaming driver re-reads only the ranges each commit
+    * actually rewrote).
+    */
+  def readManifestFile(ref: ManifestRef): Seq[FileEntry] = {
+    val cached = LakeTable.manifestCache.get(ref.path)
+    if (cached != null) return cached
+    val in = fs.open(new Path(metaDir, ref.path))
+    val entries =
+      try Serialization.read[ManifestFile](new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)).files
+      finally in.close()
+    LakeTable.manifestCache.putBounded(ref.path, entries)
+    entries
+  }
+
+  /** Write one immutable manifest file for `range`; returns its ref.
+    * The file is an orphan until a head referencing it wins the CAS.
+    */
+  private def writeManifestFile(range: Int, numBuckets: Int,
+      entries: Seq[FileEntry]): ManifestRef = {
+    val name = s"m-${UUID.randomUUID()}.json"
+    val out = fs.create(new Path(metaDir, name), false)
+    try out.write(Serialization.write(ManifestFile(entries))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val (lo, hi) = LakeTable.rangeSpan(range, numBuckets)
+    val ref = ManifestRef(
+      path = name, range = range, minBucket = lo, maxBucket = hi,
+      nFiles = entries.size, rows = entries.map(_.rows).sum,
+      minLsn = entries.map(_.minLsn).minOption.getOrElse(Long.MaxValue),
+      maxLsn = entries.map(_.maxLsn).maxOption.getOrElse(Long.MinValue))
+    LakeTable.manifestCache.putBounded(name, entries.toIndexedSeq)
+    ref
+  }
+
+  /** Compose the next snapshot's manifest list: ranges intersecting
+    * `touched` buckets (or receiving `newFiles`) are rewritten — their
+    * content = parent entries of UNtouched buckets in the range plus the
+    * new files — and every other range's manifest file carries over by
+    * reference, untouched and unread. A legacy inline-`files` parent (or
+    * no parent) regroups everything into ranges once.
+    */
+  def composeManifests(parent: Option[Manifest], touched: Set[Int],
+      newFiles: Seq[FileEntry], numBuckets: Int): Seq[ManifestRef] = {
+    fs.mkdirs(metaDir)
+    val rng: Int => Int = LakeTable.rangeOf(_, numBuckets)
+    val newByRange = newFiles.groupBy(f => rng(f.bucket))
+    val legacy = parent.exists(m => m.manifests.isEmpty && m.files.nonEmpty)
+    if (parent.isEmpty || legacy) {
+      val all = parent.map(_.files).getOrElse(Nil)
+        .filterNot(f => touched.contains(f.bucket)) ++ newFiles
+      all.groupBy(f => rng(f.bucket)).toSeq.sortBy(_._1).map { case (r, es) =>
+        writeManifestFile(r, numBuckets, es)
+      }
+    } else {
+      val parentRefs = parent.get.manifests.map(r => r.range -> r).toMap
+      val touchedRanges = touched.map(rng) ++ newByRange.keySet
+      val carried = parent.get.manifests.filterNot(r => touchedRanges.contains(r.range))
+      val rewritten = touchedRanges.toSeq.sorted.flatMap { r =>
+        val kept = parentRefs.get(r).map(readManifestFile).getOrElse(Nil)
+          .filterNot(f => touched.contains(f.bucket))
+        val content = kept ++ newByRange.getOrElse(r, Nil)
+        if (content.isEmpty) None else Some(writeManifestFile(r, numBuckets, content))
+      }
+      (carried ++ rewritten).sortBy(_.range)
+    }
   }
 
   /** Atomic CAS commit of `m` at `m.version`. Exactly one concurrent caller
@@ -254,11 +381,12 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val m = readManifest(version)
     val stored = LakeTable.storedSchema(m.schema)
+    val files = filesOf(m)
     val df =
-      if (m.files.isEmpty)
+      if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
-      else spark.read.schema(stored).parquet(m.files.map(_.path): _*)
+      else spark.read.schema(stored).parquet(files.map(_.path): _*)
     df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
   }
 
@@ -271,10 +399,7 @@ final class LakeTable private (val root: String, val conf: Configuration) {
           LakeTable.storedSchema(graft.model.Schemas.seqTable))
       case Some(m) =>
         val stored = LakeTable.storedSchema(m.schema)
-        val files = buckets match {
-          case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
-          case None => m.files
-        }
+        val files = filesOf(m, buckets)
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
@@ -284,14 +409,53 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   }
 
   /** Files of the current snapshot whose LSN range intersects [lo, hi] —
-    * min/max-stat pruning for time-travel style scans.
+    * min/max-stat pruning for time-travel style scans, applied at the
+    * manifest-LIST level first (whole ranges skip unopened).
     */
   def filesInLsnRange(lo: Long, hi: Long): Seq[FileEntry] =
-    currentManifestOpt().map(_.files.filter(f => f.maxLsn >= lo && f.minLsn <= hi))
-      .getOrElse(Nil)
+    currentManifestOpt().map { m =>
+      val entries =
+        if (m.manifests.isEmpty) m.files
+        else m.manifests.filter(r => r.maxLsn >= lo && r.minLsn <= hi)
+          .sortBy(_.range).flatMap(readManifestFile)
+      entries.filter(f => f.maxLsn >= lo && f.minLsn <= hi)
+    }.getOrElse(Nil)
 }
 
 object LakeTable {
+
+  /** Bucket ranges per table: fine enough that a 1-bucket commit rewrites
+    * ~1/64 of the metadata, coarse enough that a full-spread batch writes
+    * at most 64 small manifest files.
+    */
+  def numRangesFor(numBuckets: Int): Int = math.min(numBuckets, 64)
+
+  /** Range id of a bucket (contiguous equal-width ranges). */
+  def rangeOf(bucket: Int, numBuckets: Int): Int =
+    (bucket.toLong * numRangesFor(numBuckets) / numBuckets).toInt
+
+  /** Inclusive bucket span [min, max] of a range. */
+  def rangeSpan(range: Int, numBuckets: Int): (Int, Int) = {
+    val nr = numRangesFor(numBuckets)
+    val lo = math.ceil(range.toDouble * numBuckets / nr).toInt
+    val hi = math.ceil((range + 1).toDouble * numBuckets / nr).toInt - 1
+    (lo, hi)
+  }
+
+  /** JVM-wide cache of manifest-file contents. Entries are immutable once
+    * written (new content always gets a new name), so caching by name is
+    * safe across LakeTable instances; bounded by wholesale clear — a rare
+    * event that only costs re-reads.
+    */
+  private[table] object manifestCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+    def get(k: String): Seq[FileEntry] = m.get(k)
+    def putBounded(k: String, v: Seq[FileEntry]): Unit = {
+      if (m.size > 4096) m.clear()
+      m.put(k, v): Unit
+    }
+  }
+
   /** System column marking delete tombstones in stored files. Tombstones
     * keep the delete's LSN so an out-of-order older event in a later batch
     * cannot resurrect a deleted key.

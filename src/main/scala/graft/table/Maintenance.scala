@@ -48,16 +48,17 @@ object Maintenance {
     val nextVersion = m.version + 1
     val staging = table.stagingDir(nextVersion)
 
-    val (touched, kept) = buckets match {
-      case None => (m.files, Seq.empty[graft.table.FileEntry])
-      case Some(bs) => m.files.partition(f => bs.contains(f.bucket))
-    }
+    // manifest-LIST pruning: a bucket-subset compaction opens only the
+    // ranges it touches; the rest carry over by reference
+    val touched = table.filesOf(m, buckets)
+    val filesBefore = m.manifests.map(_.nFiles).sum.max(m.files.size)
     if (touched.isEmpty) {
       // nothing selected: commit nothing, report the no-op
       return CompactionResult(m.snapshotId, m.version,
-        m.files.size, m.files.size, tombstonesDropped = false)
+        filesBefore, filesBefore, tombstonesDropped = false)
     }
-    val nTouchedBuckets = touched.map(_.bucket).distinct.size
+    val touchedBuckets = touched.map(_.bucket).toSet
+    val nTouchedBuckets = touchedBuckets.size
 
     val df = spark.read.schema(stored).parquet(touched.map(_.path): _*)
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
@@ -85,22 +86,25 @@ object Maintenance {
     }
 
     val snapshotId = UUID.randomUUID().toString
+    val manifests =
+      table.composeManifests(Some(m), touchedBuckets, newFiles, m.numBuckets)
     table.commit(Manifest(
       version = nextVersion,
       snapshotId = snapshotId,
       parentSnapshotId = Some(m.snapshotId),
       schemaJson = m.schemaJson,
       numBuckets = m.numBuckets,
-      files = kept ++ newFiles,
+      files = Nil,
       // carry the ledger floor: after retention has folded old batches into
       // floorBatch, the floor is the ONLY record that those batches
       // committed. Dropping it here would let a replayed pre-floor batch
       // re-apply against a table whose tombstones this compaction just
       // GC'd — resurrecting deleted keys.
       ledger = m.ledger,
-      floorBatch = m.floorBatch))
-    CompactionResult(snapshotId, nextVersion, m.files.size,
-      kept.size + newFiles.size, tombstoneWatermark > Long.MinValue)
+      floorBatch = m.floorBatch,
+      manifests = manifests))
+    CompactionResult(snapshotId, nextVersion, filesBefore,
+      manifests.map(_.nFiles).sum, tombstoneWatermark > Long.MinValue)
   }
 
   /** The `n` buckets that most need compaction: highest file count first
@@ -111,7 +115,7 @@ object Maintenance {
     * cycle and keep every run bounded.
     */
   def mostFragmented(table: LakeTable, n: Int): Set[Int] =
-    table.currentManifest().files
+    table.filesOf(table.currentManifest())
       .groupBy(_.bucket).view.mapValues(_.size).toSeq
       .filter(_._2 > 1)
       .sortBy { case (b, c) => (-c, b) }
@@ -134,12 +138,28 @@ object Maintenance {
     val fs = root.getFileSystem(conf)
     val current = table.currentVersion()
     if (current < 0) return Nil
+    val retainFrom = retainFromVersion.max(0)
     val live: Set[String] =
-      (retainFromVersion.max(0) to current).flatMap { v =>
-        try table.readManifest(v).files.map(f =>
+      (retainFrom to current).flatMap { v =>
+        try table.filesOf(table.readManifest(v)).map(f =>
           Path.getPathWithoutSchemeAndAuthority(new Path(f.path)).toString)
         catch { case _: java.io.FileNotFoundException => Nil }
       }.toSet
+    // manifest-file GC: m-*.json referenced ONLY by heads below the
+    // horizon are superseded metadata. Files referenced by NO head at all
+    // are left alone — they may belong to an in-flight commit whose head
+    // CAS has not landed yet (the same guard the data sweep gets from the
+    // s<v> <= current rule).
+    def refsOf(vs: Iterable[Long]): Set[String] = vs.flatMap { v =>
+      try table.readManifest(v).manifests.map(_.path)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
+    val liveRefs = refsOf(retainFrom to current)
+    val deadRefs = refsOf(0L until retainFrom) -- liveRefs
+    val metaDir = new Path(root, "meta")
+    val deletedManifests = deadRefs.toSeq.sorted.filter { name =>
+      fs.delete(new Path(metaDir, name), false)
+    }.map(name => new Path(metaDir, name).toString)
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Nil
     // only sweep staging dirs of committed versions: s<v> with v <= current
@@ -150,6 +170,7 @@ object Maintenance {
         n.startsWith("s") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= current
       }
     val deleted = Seq.newBuilder[String]
+    deleted ++= deletedManifests
     committedStaging.foreach { sd =>
       val it = fs.listFiles(sd.getPath, true)
       while (it.hasNext) {

@@ -93,7 +93,7 @@ object Replay {
         s"surviving rows vs v${m.version} now")
     println(s"[replay] feed rows applied: $applied")
     println(s"[replay] final snapshot: ${m.snapshotId} (version ${m.version}, " +
-      s"${m.files.size} files, ${m.ledger.size} ledger entries)")
+      s"${table.filesOf(m).size} files, ${m.ledger.size} ledger entries)")
     println(s"[replay] surviving rows: ${finalState.count()}")
     finalState.orderBy("doc_id").show(5, truncate = 60)
     spark.stop()

@@ -28,7 +28,7 @@ class MaintenanceSpec extends SparkSpec {
   test("compaction: fewer files, same live state, tombstones GC'd by watermark") {
     val (table, events) = buildTable(tmpDir("lake-compact"), 9000, 6)
     val before = table.read(spark).collect().map(_.toSeq).toSet
-    val filesBefore = table.currentManifest().files.size
+    val filesBefore = table.filesOf(table.currentManifest()).size
     val tombsBefore = table.readStored(spark)
       .filter(org.apache.spark.sql.functions.col("_tombstone")).count()
     assert(tombsBefore > 0)
@@ -38,7 +38,7 @@ class MaintenanceSpec extends SparkSpec {
     // whole buckets — so compaction's payload here is the tombstone GC)
     val res = Maintenance.compact(spark, table, tombstoneWatermark = 9000L)
     assert(res.filesAfter <= filesBefore)
-    assert(table.currentManifest().files.size === res.filesAfter)
+    assert(table.filesOf(table.currentManifest()).size === res.filesAfter)
     assert(table.read(spark).collect().map(_.toSeq).toSet === before)
     assert(table.readStored(spark)
       .filter(org.apache.spark.sql.functions.col("_tombstone")).count() === 0)

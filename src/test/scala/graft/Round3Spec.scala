@@ -87,12 +87,12 @@ class IncrementalCompactSpec extends SparkSpec {
     assert(tombBuckets.size >= 2, "need tombstones in >= 2 buckets")
     val (subset, rest) = (tombBuckets.take(1), tombBuckets.drop(1))
 
-    val keptBefore = table.currentManifest().files
+    val keptBefore = table.filesOf(table.currentManifest())
       .filterNot(f => subset.contains(f.bucket)).map(_.path).toSet
     val res = Maintenance.compact(spark, table,
       tombstoneWatermark = Long.MaxValue / 2, buckets = Some(subset))
     // untouched buckets: same physical files, carried over with no rewrite
-    val keptAfter = table.currentManifest().files
+    val keptAfter = table.filesOf(table.currentManifest())
       .filterNot(f => subset.contains(f.bucket)).map(_.path).toSet
     assert(keptAfter === keptBefore)
     assert(res.version === table.currentVersion())
@@ -129,11 +129,13 @@ class IncrementalCompactSpec extends SparkSpec {
       RawEvent(1L, "a", Ops.Insert, Array(1), 1, "s", null, 0))),
       "cp", 0L, MergeConfig(numBuckets = 4))
     // merge rewrites whole buckets (1 file/bucket), so synthesize a
-    // fragmented manifest: duplicate one bucket's file entry
+    // fragmented manifest: duplicate one bucket's file entry (written
+    // legacy-inline, which also exercises the pre-list interop path)
     val m = table.currentManifest()
-    val f = m.files.head
+    val fs0 = table.filesOf(m)
+    val f = fs0.head
     table.commit(m.copy(version = m.version + 1,
-      files = m.files :+ f.copy(path = f.path + ".dup")))
+      files = fs0 :+ f.copy(path = f.path + ".dup"), manifests = Nil))
     assert(Maintenance.mostFragmented(table, 4) === Set(f.bucket))
     assert(Maintenance.mostFragmented(table, 0) === Set.empty)
   }

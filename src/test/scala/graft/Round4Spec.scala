@@ -156,3 +156,149 @@ class DeadLetterDirSpec extends SparkSpec {
     assert(dlq.count() === 1)
   }
 }
+
+/** Manifest list (the round-4 metadata scale path): a commit touching one
+  * bucket rewrites ONLY that bucket range's manifest file plus the head —
+  * asserted at the FILE level — untouched ranges carry over by reference,
+  * readers prune at the list level, and pre-list (inline) snapshots stay
+  * readable and migrate on their first commit.
+  */
+class ManifestListSpec extends SparkSpec {
+  import graft.table.{LakeTable, Maintenance, Manifest}
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def ev(lsn: Long, key: String, op: String = Ops.Upsert) =
+    RawEvent(lsn, key, op, Array(lsn.toInt), 1, "s", null, 0)
+
+  private def metaManifestFiles(root: String): Set[String] =
+    Option(new java.io.File(s"$root/meta").listFiles).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("m-")).toSet
+
+  test("range math: every bucket maps into its range's span") {
+    for (nb <- Seq(1, 8, 32, 100, 1 << 14)) {
+      val nr = LakeTable.numRangesFor(nb)
+      assert(nr >= 1 && nr <= 64)
+      val step = math.max(1, nb / 257)
+      (0 until nb by step).foreach { b =>
+        val r = LakeTable.rangeOf(b, nb)
+        val (lo, hi) = LakeTable.rangeSpan(r, nb)
+        assert(b >= lo && b <= hi, s"bucket $b outside span of range $r for nb=$nb")
+      }
+      // spans tile the bucket space exactly
+      val spans = (0 until nr).map(LakeTable.rangeSpan(_, nb))
+      assert(spans.head._1 === 0 && spans.last._2 === nb - 1)
+      spans.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(lo2 === hi + 1)
+        case _ => ()
+      }
+    }
+  }
+
+  test("a 1-bucket commit rewrites only that range's manifest file + head") {
+    val work = tmpDir("mlist-1bucket")
+    val root = s"$work/t"
+    val table = LakeTable(root)
+    val cfg = MergeConfig(numBuckets = 8) // 8 ranges of exactly 1 bucket
+    // spread keys over several buckets
+    MergeInto.apply(spark, table,
+      batchDf((1 to 40).map(i => ev(i.toLong, s"k$i"))), "cp", 0L, cfg)
+    val m0 = table.currentManifest()
+    assert(m0.files.isEmpty && m0.manifests.nonEmpty, "head must be list-based")
+    val before = metaManifestFiles(root)
+    val refsBefore = m0.manifests.map(r => r.range -> r.path).toMap
+    assert(refsBefore.size >= 3, s"need several populated ranges, got $refsBefore")
+
+    // one-key batch -> exactly one bucket -> exactly one range rewritten
+    MergeInto.apply(spark, table, batchDf(Seq(ev(100L, "k1"))), "cp", 1L, cfg)
+    val m1 = table.currentManifest()
+    val touchedBucket = LakeTable.bucketExpr(8)
+    val b = Seq("k1").toDF("doc_id").select(touchedBucket.as("b")).head().getInt(0)
+    val refsAfter = m1.manifests.map(r => r.range -> r.path).toMap
+    // every range except the touched bucket's carries the SAME file
+    refsBefore.foreach { case (r, p) =>
+      if (r == LakeTable.rangeOf(b, 8)) assert(refsAfter(r) !== p)
+      else assert(refsAfter(r) === p, s"range $r must carry over by reference")
+    }
+    // file-level: exactly ONE new manifest file appeared on disk
+    val added = metaManifestFiles(root) -- before
+    assert(added.size === 1, s"expected 1 new manifest file, got $added")
+
+    // list-level pruning returns exactly the bucket's files
+    val pruned = table.filesOf(m1, Some(Set(b)))
+    assert(pruned.nonEmpty && pruned.forall(_.bucket === b))
+    // and the read path agrees with the full scan
+    val full = table.read(spark).collect().map(_.toSeq).toSet
+    assert(full.size === 40)
+    // time travel across list-based snapshots still works
+    assert(table.readVersion(spark, m0.version).count() === 40)
+  }
+
+  test("legacy inline-files snapshots read and migrate on first commit") {
+    val work = tmpDir("mlist-legacy")
+    val root = s"$work/t"
+    val table = LakeTable(root)
+    val cfg = MergeConfig(numBuckets = 4)
+    MergeInto.apply(spark, table,
+      batchDf((1 to 10).map(i => ev(i.toLong, s"k$i"))), "cp", 0L, cfg)
+    // rewrite the head as a LEGACY manifest (inline files, no list)
+    val m = table.currentManifest()
+    table.commit(m.copy(version = m.version + 1, snapshotId = "legacy",
+      files = table.filesOf(m), manifests = Nil))
+    val legacy = table.currentManifest()
+    assert(legacy.manifests.isEmpty && legacy.files.nonEmpty)
+    val state = table.read(spark).collect().map(_.toSeq).toSet
+    assert(state.size === 10)
+    // a commit on top migrates to ranges without losing state
+    MergeInto.apply(spark, table, batchDf(Seq(ev(99L, "k1"))), "cp", 1L, cfg)
+    val migrated = table.currentManifest()
+    assert(migrated.files.isEmpty && migrated.manifests.nonEmpty)
+    assert(table.read(spark).count() === 10)
+    assert(table.read(spark).filter(col("doc_id") === "k1")
+      .head().getAs[Long]("lsn") === 99L)
+  }
+
+  test("vacuum GCs superseded manifest files but never unreferenced (in-flight) ones") {
+    val work = tmpDir("mlist-vacuum")
+    val root = s"$work/t"
+    val table = LakeTable(root)
+    val cfg = MergeConfig(numBuckets = 4)
+    (0 until 5).foreach { bId =>
+      MergeInto.apply(spark, table,
+        batchDf(Seq(ev(bId.toLong + 1, s"k${bId % 2}"))), "cp", bId.toLong, cfg)
+    }
+    // an in-flight writer's manifest file: referenced by NO head yet
+    val inflight = s"$root/meta/m-inflight-test.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inflight),
+      """{"files":[]}""")
+    val before = metaManifestFiles(root)
+    val current = table.currentVersion()
+    val liveFiles = table.filesOf(table.currentManifest()).map(_.path).toSet
+    val deleted = Maintenance.vacuum(table, retainFromVersion = current)
+    assert(deleted.nonEmpty)
+    // superseded manifest files gone; live + in-flight ones kept
+    val after = metaManifestFiles(root)
+    assert(after.contains("m-inflight-test.json"))
+    val liveRefs = table.currentManifest().manifests.map(_.path).toSet
+    assert(liveRefs.subsetOf(after))
+    assert(after.size < before.size)
+    // table still reads; live data files untouched
+    assert(table.filesOf(table.currentManifest()).map(_.path).toSet === liveFiles)
+    assert(table.read(spark).count() === 2)
+    // idempotent
+    assert(Maintenance.vacuum(table, retainFromVersion = current).isEmpty)
+  }
+
+  test("filesInLsnRange prunes at the manifest-list level") {
+    val work = tmpDir("mlist-lsn")
+    val table = LakeTable(s"$work/t")
+    val cfg = MergeConfig(numBuckets = 4)
+    MergeInto.apply(spark, table,
+      batchDf((1 to 20).map(i => ev(i.toLong, s"k$i"))), "cp", 0L, cfg)
+    val hits = table.filesInLsnRange(5L, 7L)
+    assert(hits.nonEmpty && hits.forall(f => f.maxLsn >= 5L && f.minLsn <= 7L))
+    assert(table.filesInLsnRange(1000L, 2000L).isEmpty)
+  }
+}
