@@ -139,6 +139,29 @@ object SparkEntry {
       } finally changes.unpersist()
     }),
 
+    // The SAME final state produced through the STREAMING tail: the feed
+    // written as LSN-partitioned files, tailed by CdcStream (AvailableNow,
+    // maxFilesPerTrigger admission -> several micro-batches, foreachBatch
+    // MERGE, checkpoint + exactly-once ledger), then the table read back.
+    // Oracle = cdc_final_state's SQL — the driver gate now covers the
+    // streaming layer it previously could not see.
+    "cdc_stream_final" -> ((s, dir) => {
+      val root = scratchDir("graft-cdc-stream", dir)
+      val changes = cdcChanges(s, dir)
+      changes.withColumn("seg", pmod(col("lsn"), lit(4L)))
+        .repartition(4, col("seg"))
+        .write.partitionBy("seg").mode("overwrite").parquet(s"$root/feed")
+      val cfg = graft.stream.StreamConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp", checkpointId = "stream-verify",
+        maxFilesPerTrigger = 1,
+        merge = MergeConfig(numBuckets = 8))
+      graft.stream.CdcStream.runToCompletion(s, cfg)
+        .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"), col("lsn"))
+        .orderBy("doc_id")
+    }),
+
     // The dedupe-by-(doc_id, lsn) window operator on its own (north-rule
     // shape: row_number over lsn desc), salted two-stage path exercised.
     "cdc_dedupe_lww" -> ((s, dir) => {
@@ -378,6 +401,39 @@ object SparkEntry {
             concat(lit("t-"), part("event_type")),
             lsn = Some(part("event_id")))
           MergeInto.apply(s, table, Edges.asChanges(edges, b), "edges", b,
+            MergeConfig(numBuckets = 8, columnPolicy = Edges.mergePolicies,
+              initialSchema = Some(Edges.tableSchema)))
+        }
+        table.read(s)
+          .select("edge_label", "from_id", "to_id", "n_obs", "min_lsn", "max_lsn")
+          .orderBy("from_id", "to_id")
+      } finally ev.unpersist()
+    }),
+
+    // Edges DERIVED FROM THE RULE DOC end-to-end: the reference writes
+    // its edges from the same updatereq document as its vertices
+    // (flow.xml:1298-1307) — here the parsed EdgeRule list drives
+    // Rules.emitEdges (from/to = the vertex rules' bound exact keys) into
+    // the MERGE kernel across 2 micro-batches with accumulating policies.
+    "rules_edges_merge" -> ((s, dir) => {
+      val rules = graft.rules.UpdateReq.parse(
+        """{"updatereq":{"vertices":[
+          |  {"label":"User","props":[
+          |    {"name":"uid","val":"${user}","predicate":"eq","mandatoryInSearch":true}]},
+          |  {"label":"EventType","props":[
+          |    {"name":"etype","val":"${etype}","predicate":"eq","mandatoryInSearch":true}]}],
+          | "edges":[{"label":"acted","fromVertexLabel":"User","toVertexLabel":"EventType"}]}}"""
+          .stripMargin)
+      val table = LakeTable(scratchDir("graft-rules-edges-q", dir))
+      val ev0 = s.read.parquet(t(dir, "events"))
+      val ev = ev0.select(ev0("event_id").as("lsn"),
+        concat(lit("u"), ev0("user_id").cast("string")).as("user"),
+        concat(lit("t-"), ev0("event_type")).as("etype")).persist()
+      try {
+        (0L until 2L).foreach { b =>
+          val part = ev.filter(col("lsn") % 2 === b)
+          val edges = rules.emitEdges(part, lsn = Some(col("lsn")))
+          MergeInto.apply(s, table, Edges.asChanges(edges, b), "redges", b,
             MergeConfig(numBuckets = 8, columnPolicy = Edges.mergePolicies,
               initialSchema = Some(Edges.tableSchema)))
         }
@@ -680,6 +736,31 @@ object SparkEntry {
         .orderBy("deck_id", "slide_idx")
     }),
 
+    // XLSX cell extraction (the reference's ConvertExcelToCSVProcessor, 2
+    // uses in the production flow), JDK-only: xlsx = zip of worksheet XML
+    // + sharedStrings; numeric cells inline, string cells resolved through
+    // the shared-string table. Workbooks built deterministically in-query
+    // (4 docs per workbook, one row each: doc_id | text | lang) and
+    // round-tripped — SQL-checkable.
+    "xlsx_cells" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 40)
+      val books = d.select(floor(d("doc_id") / 4).as("book_id"),
+        d("doc_id"), d("text"), d("lang"))
+        .as[(Long, Long, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (book, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+            .map(r => Seq(r._2.toString, r._3, r._4))
+          (book, graft.sources.ArchiveSource.xlsxBytes(rows))
+        }
+        .toDF("archive_id", "payload")
+      graft.sources.ArchiveSource.xlsxCells(books).toDF()
+        .select(col("archive_id").as("book_id"), col("sheet_idx"),
+          col("row_idx"), col("col_idx"), col("value"))
+        .orderBy("book_id", "row_idx", "col_idx")
+    }),
+
     // Real decode behind the MediaDecoder seam: zip containers sniffed by
     // magic and genuinely parsed (n_parts = entry count).
     "multimodal_archive" -> ((s, dir) => {
@@ -807,6 +888,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "cdc_final_state" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM changes)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
+
+    "cdc_stream_final" ->
       s"""WITH changes AS ($cdcChangesSql),
          |latest AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
@@ -981,6 +1072,31 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY from_id, to_id""".stripMargin,
+
+    "rules_edges_merge" ->
+      """SELECT 'acted' AS edge_label,
+        |  'u' || CAST(user_id AS VARCHAR) AS from_id,
+        |  't-' || event_type AS to_id,
+        |  count(*) AS n_obs,
+        |  min(event_id) AS min_lsn, max(event_id) AS max_lsn
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY from_id, to_id""".stripMargin,
+
+    "xlsx_cells" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS book_id,
+        |         CAST(doc_id % 4 + 1 AS INTEGER) AS row_idx,
+        |         doc_id, text, lang
+        |  FROM documents WHERE doc_id < 40),
+        |cells AS (
+        |  SELECT book_id, row_idx, 1 AS col_idx, CAST(doc_id AS VARCHAR) AS value FROM d
+        |  UNION ALL
+        |  SELECT book_id, row_idx, 2, text FROM d
+        |  UNION ALL
+        |  SELECT book_id, row_idx, 3, lang FROM d)
+        |SELECT book_id, 1 AS sheet_idx, row_idx, CAST(col_idx AS INTEGER) AS col_idx, value
+        |FROM cells ORDER BY book_id, row_idx, col_idx""".stripMargin,
 
     "route_filter" ->
       """SELECT event_id, user_id, value FROM events

@@ -302,3 +302,43 @@ class ManifestListSpec extends SparkSpec {
     assert(table.filesInLsnRange(1000L, 2000L).isEmpty)
   }
 }
+
+/** JDK-only xlsx cell extraction (ConvertExcelToCSVProcessor shape). */
+class XlsxSpec extends SparkSpec {
+  import graft.sources.ArchiveSource
+  import spark.implicits._
+
+  test("cell refs and column letters round-trip") {
+    assert(ArchiveSource.parseCellRef("A1") === ((1, 1)))
+    assert(ArchiveSource.parseCellRef("B3") === ((3, 2)))
+    assert(ArchiveSource.parseCellRef("AA10") === ((10, 27)))
+    for (i <- Seq(1, 2, 26, 27, 52, 703))
+      assert(ArchiveSource.parseCellRef(s"${ArchiveSource.colLetters(i)}5") === ((5, i)))
+  }
+
+  test("xlsx round-trip: shared strings, numerics, XML escaping, repeats") {
+    val rows = Seq(
+      Seq("101", "hello <world> & co", "en"),
+      Seq("-7", "hello <world> & co", "de"), // repeated string -> same sst slot
+      Seq("3.25", "unique", "fr"))
+    val bytes = ArchiveSource.xlsxBytes(rows)
+    val df = Seq((5L, bytes)).toDF("archive_id", "payload")
+    val got = ArchiveSource.xlsxCells(df).collect()
+      .sortBy(c => (c.row_idx, c.col_idx))
+    assert(got.length === 9)
+    assert(got.forall(c => c.archive_id === 5L && c.sheet_idx === 1))
+    assert(got.map(_.value).toSeq === rows.flatten)
+    // the repeated string really went through ONE shared-string slot
+    val sst = ArchiveSource.parseSharedStrings(
+      ArchiveSource.zipEntries(bytes).collectFirst {
+        case ("xl/sharedStrings.xml", d) => d
+      }.get)
+    assert(sst === IndexedSeq("hello <world> & co", "en", "de", "unique", "fr"))
+  }
+
+  test("non-xlsx payloads yield zero cells") {
+    val df = Seq((1L, "nope".getBytes("UTF-8")),
+      (2L, Array.emptyByteArray)).toDF("archive_id", "payload")
+    assert(ArchiveSource.xlsxCells(df).count() === 0)
+  }
+}
