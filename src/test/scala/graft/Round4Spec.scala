@@ -342,3 +342,57 @@ class XlsxSpec extends SparkSpec {
     assert(ArchiveSource.xlsxCells(df).count() === 0)
   }
 }
+
+/** Property: a random sequence of list-based commits yields exactly the
+  * same file listing as maintaining the full inline listing would —
+  * composeManifests is a pure refactoring of the metadata layout.
+  */
+class ManifestListPropertySpec extends SparkSpec {
+  import graft.table.{FileEntry, LakeTable}
+
+  test("composeManifests over random commit sequences == inline bookkeeping") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 5) {
+      val numBuckets = Seq(4, 8, 32, 100)(trial % 4)
+      val work = tmpDir(s"mlist-prop-$trial")
+      val table = LakeTable(s"$work/t")
+      var inline = Map.empty[Int, Seq[FileEntry]] // bucket -> files (oracle)
+      var parent: Option[graft.table.Manifest] = None
+      var fileId = 0
+      for (step <- 0 until 12) {
+        // random touched set; each touched bucket gets 0..2 new files
+        val touched = (0 until numBuckets)
+          .filter(_ => rnd.nextDouble() < 0.3).toSet
+        val newFiles = touched.toSeq.sorted.flatMap { b =>
+          (0 until rnd.nextInt(3)).map { _ =>
+            fileId += 1
+            FileEntry(s"f$fileId", b, rnd.nextInt(100).toLong,
+              rnd.nextInt(50).toLong, 50L + rnd.nextInt(50))
+          }
+        }
+        val refs = table.composeManifests(parent, touched, newFiles, numBuckets)
+        inline = (inline -- touched) ++
+          newFiles.groupBy(_.bucket).view.mapValues(_.toSeq).toMap
+        val m = graft.table.Manifest(step.toLong, s"s$step",
+          parent.map(_.snapshotId), graft.model.Schemas.seqTable.json,
+          numBuckets, Nil, Map.empty, Map.empty, refs)
+        table.commit(m)
+        parent = Some(m)
+        // resolved listing == oracle, overall and per pruned bucket subset
+        val got = table.filesOf(m).groupBy(_.bucket).view.mapValues(_.toSet).toMap
+        val want = inline.filter(_._2.nonEmpty).view.mapValues(_.toSet).toMap
+        assert(got === want, s"trial $trial step $step nb=$numBuckets")
+        val probe = (0 until numBuckets).filter(_ => rnd.nextBoolean()).toSet
+        assert(table.filesOf(m, Some(probe)).toSet ===
+          want.filter(kv => probe.contains(kv._1)).values.flatten.toSet)
+        // refs are well-formed: each entry's bucket inside its ref's span
+        refs.foreach { r =>
+          table.readManifestFile(r).foreach { f =>
+            assert(f.bucket >= r.minBucket && f.bucket <= r.maxBucket)
+            assert(LakeTable.rangeOf(f.bucket, numBuckets) === r.range)
+          }
+        }
+      }
+    }
+  }
+}
