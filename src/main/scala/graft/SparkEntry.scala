@@ -139,6 +139,28 @@ object SparkEntry {
       } finally changes.unpersist()
     }),
 
+    // The SAME final state through the merge-on-read TRICKLE path: after
+    // a bootstrap batch, 15 small batches APPEND delta files (no target
+    // read, no join — write O(batch), the CDC trickle shape at 100 TB),
+    // half the buckets are then compaction-folded, and the final read
+    // resolves mixed base+delta state — all against the batch oracle.
+    "cdc_trickle_delta" -> ((s, dir) => {
+      val table = LakeTable(scratchDir("graft-cdc-trickle", dir))
+      val changes = cdcChanges(s, dir).persist()
+      try {
+        (0L until 16L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 16 === b),
+            "trickle", b, MergeConfig(numBuckets = 8,
+              deltaAppendThreshold = 10000000L))
+        }
+        graft.table.Maintenance.compact(s, table, buckets = Some(Set(0, 1, 2, 3)))
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("n_tok"), col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
     // The SAME final state produced through the STREAMING tail: the feed
     // written as LSN-partitioned files, tailed by CdcStream (AvailableNow,
     // maxFilesPerTrigger admission -> several micro-batches, foreachBatch
@@ -888,6 +910,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "cdc_final_state" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM changes)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
+
+    "cdc_trickle_delta" ->
       s"""WITH changes AS ($cdcChangesSql),
          |latest AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn

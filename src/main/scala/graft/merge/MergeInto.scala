@@ -89,7 +89,21 @@ final case class MergeConfig(
       * table keyed by edge key — pass their own base so evolution doesn't
       * graft the seq columns onto them.
       */
-    initialSchema: Option[StructType] = None)
+    initialSchema: Option[StructType] = None,
+    /** Merge-on-read trickle path: a batch with at most this many raw
+      * rows APPENDS delta files to its touched buckets instead of
+      * rewriting them — no target read, no join, write O(batch) instead
+      * of O(touched buckets' data). Readers resolve last-writer-wins at
+      * scan time and compaction folds deltas back into base files, so
+      * the final state is identical to the rewrite path (DeltaAppendSpec
+      * proves equivalence batch-size-independently). 0 (default) = off.
+      * Ignored when `columnPolicy` is non-empty (policies need the
+      * stored row) and for bootstrap batches into untouched buckets.
+      * Lineage for delta batches is op-typed (an I counts as insert, a
+      * U/UPSERT as update, a D as delete) since match status is unknown
+      * without reading the target.
+      */
+    deltaAppendThreshold: Long = 0L)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -305,8 +319,13 @@ object MergeInto {
     val touchedFiles = current.map(m => table.filesOf(m, Some(touched))).getOrElse(Nil)
     val storedOld = storedSchema(tableSchema)
     val storedNew = storedSchema(evolved)
-    def scanTarget(): DataFrame =
-      alignTo(spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*), storedNew)
+    // delta files carry multiple versions per key: the target side of the
+    // join must be LWW-resolved first or matched keys would fan out
+    def scanTarget(): DataFrame = {
+      val raw = alignTo(
+        spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*), storedNew)
+      if (touchedFiles.exists(_.isDelta)) LakeTable.resolveLatest(raw) else raw
+    }
 
     // -- 5. MERGE join on the key ---------------------------------------
     val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq
@@ -365,9 +384,26 @@ object MergeInto {
           status.as("_status")): _*)
     }
 
+    // merge-on-read trickle path: append deltas, skip the target read and
+    // the join entirely; the LWW decision defers to scan-time resolution
+    // (equivalent outcome for Overwrite-policy columns: the read window's
+    // max-lsn winner == the kernel's change-wins-ties rule)
+    val isDeltaAppend = cfg.deltaAppendThreshold > 0 &&
+      rawRows <= cfg.deltaAppendThreshold &&
+      cfg.columnPolicy.isEmpty && touchedFiles.nonEmpty
+
     val useBroadcast = rawRows <= cfg.broadcastThreshold
     val mergedFlat: DataFrame =
-      if (touchedFiles.isEmpty) {
+      if (isDeltaAppend) {
+        val isDel = col("op") === Ops.Delete
+        val status = when(isDel, lit("delete"))
+          .when(col("op") === Ops.Insert, lit("insert"))
+          .otherwise(lit("update"))
+        alignTo(deduped, StructType(evolved.fields.toIndexedSeq :+
+            StructField("op", StringType)))
+          .select((col("doc_id") +: dataCols.map(col) :+
+            isDel.as(TOMBSTONE) :+ status.as("_status")): _*)
+      } else if (touchedFiles.isEmpty) {
         // nothing to match: the whole batch inserts (or tombstones)
         insertProject(ch)
       } else if (useBroadcast) {
@@ -418,8 +454,10 @@ object MergeInto {
     val bucketIds = touched.toSeq.sorted
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)
+    // a trickle delta batch writes ONE task (one small file per touched
+    // bucket dir) — no point fanning a few thousand rows over N tasks
     timed("merge-write")(merged
-      .repartition(touched.size.max(1), col("_bucket"))
+      .repartition(if (isDeltaAppend) 1 else touched.size.max(1), col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
@@ -450,7 +488,8 @@ object MergeInto {
         s.map(_.getLong(2)).getOrElse(Long.MaxValue),
         s.map(_.getLong(3)).getOrElse(Long.MinValue)))
     }.toMap
-    val newFiles = timed("enumerate-staged")(table.enumerateStaged(staging, outStats))
+    val newFiles = timed("enumerate-staged")(
+      table.enumerateStaged(staging, outStats, isDelta = isDeltaAppend))
 
     val snapshotId = UUID.randomUUID().toString
     val lineage = bucketIds.map { b =>
@@ -484,9 +523,11 @@ object MergeInto {
     }
 
     cfg.preCommitHook()
+    // delta append REMOVES nothing: touched = empty keeps every parent
+    // file and composeManifests appends the delta entries to their ranges
     commitManifest(table, current, evolved, numBuckets,
-      touched, newFiles, ledgerKey, lineage, cfg.ledgerRetention,
-      snapshotId, nextVersion)
+      if (isDeltaAppend) Set.empty else touched, newFiles,
+      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion)
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 

@@ -23,7 +23,15 @@ final case class FileEntry(
     bucket: Int,
     rows: Long,
     minLsn: Long,
-    maxLsn: Long)
+    maxLsn: Long,
+    /** Merge-on-read delta: true for files APPENDED by a trickle-batch
+      * commit without rewriting the bucket — they may carry newer
+      * versions of keys that also live in the bucket's base file, plus
+      * tombstones; readers resolve last-writer-wins at scan time
+      * ([[LakeTable.resolveLatest]]) and compaction folds deltas back
+      * into one base file per bucket.
+      */
+    isDelta: Boolean = false)
 
 /** One immutable per-bucket-range manifest file referenced from a
   * snapshot's manifest list: `path` is the file's name under `meta/`,
@@ -344,7 +352,8 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   /** List the parquet files Spark wrote under `dir/_bucket=N/`, with
     * per-bucket stats attached to each file.
     */
-  def enumerateStaged(dir: String, stats: Map[Int, (Long, Long, Long)]): Seq[FileEntry] = {
+  def enumerateStaged(dir: String, stats: Map[Int, (Long, Long, Long)],
+      isDelta: Boolean = false): Seq[FileEntry] = {
     val f = fs
     val d = new Path(dir)
     if (!f.exists(d)) return Nil
@@ -355,7 +364,7 @@ final class LakeTable private (val root: String, val conf: Configuration) {
         val (rows, minL, maxL) = stats.getOrElse(bucket, (0L, Long.MaxValue, Long.MinValue))
         f.listStatus(bdir.getPath).toIndexedSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => FileEntry(s.getPath.toString, bucket, rows, minL, maxL))
+          .map(s => FileEntry(s.getPath.toString, bucket, rows, minL, maxL, isDelta))
       }
   }
 
@@ -371,7 +380,11 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     */
   def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
     val df = readStored(spark, buckets)
-    df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+    val resolved =
+      if (currentManifestOpt().exists(m => filesOf(m, buckets).exists(_.isDelta)))
+        LakeTable.resolveLatest(df)
+      else df
+    resolved.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
   }
 
   /** Time travel: live rows as of snapshot `version` (every manifest is
@@ -387,7 +400,9 @@ final class LakeTable private (val root: String, val conf: Configuration) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
       else spark.read.schema(stored).parquet(files.map(_.path): _*)
-    df.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+    val resolved =
+      if (files.exists(_.isDelta)) LakeTable.resolveLatest(df) else df
+    resolved.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
   }
 
   /** Read the physical table state including tombstone rows. */
@@ -454,6 +469,26 @@ object LakeTable {
       if (m.size > 4096) m.clear()
       m.put(k, v): Unit
     }
+  }
+
+  /** Resolve multi-version stored rows (base + merge-on-read delta files)
+    * to the winning version per key: highest `lsn` wins, and on equal
+    * LSNs the row from the NEWER data file (higher staging version in
+    * the file path) wins — mirroring the merge kernel's
+    * change-wins-ties rule (`c.lsn >= t.lsn`). Whole-stage-codegen'd
+    * window; Spark 4 plans the rn=1 filter with a map-side
+    * WindowGroupLimit, so a hot key never concentrates its versions on
+    * one task before partial top-1 pruning.
+    */
+  def resolveLatest(df: DataFrame): DataFrame = {
+    val ver = regexp_extract(input_file_name(), "/s([0-9]+)/", 1).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("lsn").desc, col("_file_ver").desc)
+    df.withColumn("_file_ver", ver)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_file_ver")
   }
 
   /** System column marking delete tombstones in stored files. Tombstones

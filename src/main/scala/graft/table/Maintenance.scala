@@ -60,7 +60,14 @@ object Maintenance {
     val touchedBuckets = touched.map(_.bucket).toSet
     val nTouchedBuckets = touchedBuckets.size
 
-    val df = spark.read.schema(stored).parquet(touched.map(_.path): _*)
+    // merge-on-read deltas fold back into one base file per bucket here:
+    // LWW-resolve multi-version keys FIRST, then the tombstone filter
+    // (the resolved winner may be a tombstone — the key must drop, not
+    // fall back to a stale base row)
+    val raw = spark.read.schema(stored).parquet(touched.map(_.path): _*)
+    val resolved =
+      if (touched.exists(_.isDelta)) LakeTable.resolveLatest(raw) else raw
+    val df = resolved
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))

@@ -396,3 +396,108 @@ class ManifestListPropertySpec extends SparkSpec {
     }
   }
 }
+
+/** Merge-on-read delta append (round 4): trickle batches append delta
+  * files instead of rewriting buckets; readers resolve LWW at scan time;
+  * compaction folds deltas back into base. Final state must be identical
+  * to the rewrite path regardless of batch-size mix.
+  */
+class DeltaAppendSpec extends SparkSpec {
+  import graft.table.{LakeTable, Maintenance}
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def ev(lsn: Long, key: String, op: String, tok: Array[Int]) =
+    RawEvent(lsn, key, op, tok, if (tok == null) -1 else tok.length, "s", null, 0)
+
+  private def stateOf(t: LakeTable) =
+    t.read(spark).collect().map(_.toSeq).toSet
+
+  test("delta path == rewrite path on a generated feed (with deletes, out-of-order)") {
+    val work = tmpDir("delta-eq")
+    val feed = FeedConfig(numEvents = 6000, numKeys = 250, seed = 31,
+      deleteFraction = 0.15, dupFraction = 0.05, outOfOrderWindow = 500,
+      eventsPerSegment = 500) // 12 small batches
+    val events = ChangeGen.generateLocal(feed)
+    val byBatch = events.groupBy(_.seg).toSeq.sortBy(_._1)
+
+    val rewrite = LakeTable(s"$work/rw")
+    val delta = LakeTable(s"$work/mor")
+    byBatch.foreach { case (seg, evs) =>
+      MergeInto.apply(spark, rewrite, batchDf(evs), "cp", seg,
+        MergeConfig(numBuckets = 8))
+      MergeInto.apply(spark, delta, batchDf(evs), "cp", seg,
+        MergeConfig(numBuckets = 8, deltaAppendThreshold = 1000000L))
+    }
+    // the delta table really took the append path after bootstrap
+    val files = delta.filesOf(delta.currentManifest())
+    assert(files.count(_.isDelta) > 0, "expected delta files")
+    assert(stateOf(delta) === stateOf(rewrite))
+
+    // fold half the buckets, state unchanged; fold the rest, no deltas left
+    val some = (0 until 4).toSet
+    Maintenance.compact(spark, delta, buckets = Some(some))
+    assert(stateOf(delta) === stateOf(rewrite))
+    Maintenance.compact(spark, delta)
+    assert(delta.filesOf(delta.currentManifest()).count(_.isDelta) === 0)
+    assert(stateOf(delta) === stateOf(rewrite))
+  }
+
+  test("delete fencing survives delta resolution and folding") {
+    val work = tmpDir("delta-fence")
+    val t = LakeTable(s"$work/t")
+    val cfg = MergeConfig(numBuckets = 2, deltaAppendThreshold = 100L)
+    MergeInto.apply(spark, t, batchDf(Seq(ev(5, "k", Ops.Insert, Array(5)))), "cp", 0, cfg)
+    MergeInto.apply(spark, t, batchDf(Seq(ev(9, "k", Ops.Delete, null))), "cp", 1, cfg)
+    // late event below the delete, in its own delta batch: must stay dead
+    MergeInto.apply(spark, t, batchDf(Seq(ev(7, "k", Ops.Update, Array(7)))), "cp", 2, cfg)
+    assert(t.read(spark).filter(col("doc_id") === "k").count() === 0)
+    // genuinely newer upsert resurrects
+    MergeInto.apply(spark, t, batchDf(Seq(ev(11, "k", Ops.Upsert, Array(11)))), "cp", 3, cfg)
+    assert(t.read(spark).filter(col("doc_id") === "k")
+      .head().getAs[Seq[Int]]("tokens") === Seq(11))
+    // fold with tombstone GC: state identical, deltas gone
+    Maintenance.compact(spark, t, tombstoneWatermark = 100L)
+    assert(t.read(spark).filter(col("doc_id") === "k")
+      .head().getAs[Seq[Int]]("tokens") === Seq(11))
+    assert(t.filesOf(t.currentManifest()).count(_.isDelta) === 0)
+  }
+
+  test("a large batch after deltas joins against the RESOLVED target") {
+    val work = tmpDir("delta-bigjoin")
+    val t = LakeTable(s"$work/t")
+    val cfg = MergeConfig(numBuckets = 2, deltaAppendThreshold = 3L)
+    MergeInto.apply(spark, t, batchDf(Seq(
+      ev(1, "a", Ops.Insert, Array(1)), ev(2, "b", Ops.Insert, Array(2)))), "cp", 0, cfg)
+    // delta appends: newer version of a, delete of b
+    MergeInto.apply(spark, t, batchDf(Seq(
+      ev(10, "a", Ops.Update, Array(10)), ev(11, "b", Ops.Delete, null))), "cp", 1, cfg)
+    // large batch (> threshold) -> join path; stale update of a must lose
+    // against the DELTA version (lsn 10), not the base version (lsn 1)
+    MergeInto.apply(spark, t, batchDf(Seq(
+      ev(5, "a", Ops.Update, Array(5)), ev(20, "c", Ops.Insert, Array(20)),
+      ev(21, "d", Ops.Insert, Array(21)), ev(22, "e", Ops.Insert, Array(22)))),
+      "cp", 2, cfg)
+    val got = t.read(spark).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Seq[Int]]("tokens")).toMap
+    assert(got("a") === Seq(10), s"stale update must not beat the delta version: $got")
+    assert(!got.contains("b"))
+    assert(got.keySet === Set("a", "c", "d", "e"))
+  }
+
+  test("policies and bootstrap force the rewrite path (no silent delta)") {
+    val work = tmpDir("delta-guard")
+    val t = LakeTable(s"$work/t")
+    // bootstrap batch: no existing files -> rewrite even under threshold
+    MergeInto.apply(spark, t, batchDf(Seq(ev(1, "k", Ops.Insert, Array(1)))), "cp", 0,
+      MergeConfig(numBuckets = 2, deltaAppendThreshold = 100L))
+    assert(t.filesOf(t.currentManifest()).forall(!_.isDelta))
+    // column policies need the stored row -> rewrite
+    MergeInto.apply(spark, t, batchDf(Seq(ev(2, "k", Ops.Update, Array(2)))), "cp", 1,
+      MergeConfig(numBuckets = 2, deltaAppendThreshold = 100L,
+        columnPolicy = Map("source" -> graft.merge.ColumnPolicy.ExcludeFromUpdate)))
+    assert(t.filesOf(t.currentManifest()).forall(!_.isDelta))
+  }
+}
