@@ -183,10 +183,47 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   private def manifestPath(version: Long): Path =
     new Path(metaDir, f"v$version%020d.json")
 
+  private def hintPath: Path = new Path(metaDir, "version-hint.text")
+
   // ---- snapshot log ----------------------------------------------------
 
-  /** Highest committed version, or -1 if the table has no snapshot yet. */
+  /** Highest committed version, or -1 if the table has no snapshot yet.
+    *
+    * Fast path: a non-authoritative `version-hint.text` + an upward
+    * existence probe — O(1) metadata ops in steady state instead of a
+    * directory LISTING per read. The listing-per-read was the last
+    * per-batch O(history) term: at 10^5 commits `meta/` holds 10^5 head
+    * documents plus the manifest files, and a streaming driver calls this
+    * every micro-batch (on an object store that is a LIST per batch).
+    * The hint is best-effort: written after each commit, may be stale
+    * (probe catches up), corrupt, or missing (authoritative listing
+    * fallback) — correctness never depends on it.
+    */
   def currentVersion(): Long = {
+    val f = fs
+    val hinted =
+      try {
+        if (!f.exists(hintPath)) None
+        else {
+          val in = f.open(hintPath)
+          val s =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8).trim
+            finally in.close()
+          s.toLongOption
+        }
+      } catch { case _: Exception => None }
+    hinted match {
+      case Some(h) if h >= 0 && f.exists(manifestPath(h)) =>
+        var v = h
+        while (f.exists(manifestPath(v + 1))) v += 1
+        v
+      case _ => listedVersion()
+    }
+  }
+
+  /** Authoritative fallback: list `meta/` for the highest head. */
+  private def listedVersion(): Long = {
     val f = fs
     if (!f.exists(metaDir)) return -1L
     val vs = f.listStatus(metaDir).iterator.map(_.getPath.getName)
@@ -327,6 +364,14 @@ final class LakeTable private (val root: String, val conf: Configuration) {
       throw new CommitConflictException(
         s"lost CAS race committing version ${m.version}")
     }
+    // best-effort hint refresh AFTER the CAS: concurrent writers race
+    // (last write wins), a crash can leave it stale or torn — all safe,
+    // currentVersion probes upward and falls back to the listing
+    try {
+      val out = f.create(hintPath, true)
+      try out.write(m.version.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
   }
 
   /** Already-committed snapshot for this (checkpointId, batchId), if any —

@@ -128,6 +128,34 @@ object Maintenance {
       .sortBy { case (b, c) => (-c, b) }
       .take(n).map(_._1).toSet
 
+  /** Retire snapshot history below `retainFromVersion`: first [[vacuum]]
+    * (unreferenced data files + superseded manifest files, which must be
+    * resolved while the old heads are still readable), then delete the
+    * expired HEAD documents themselves. Bounds the metadata footprint of
+    * a long-running table — without it a 10^5-commit table keeps 10^5
+    * head documents forever, and the listing fallback of
+    * `currentVersion` (plus any meta-dir scan) pays for all of them.
+    * Time travel below the horizon stops working — that is the point.
+    * Returns every deleted path (data + manifest files + heads).
+    */
+  def expireSnapshots(table: LakeTable, retainFromVersion: Long): Seq[String] = {
+    val removed = vacuum(table, retainFromVersion)
+    val root = new Path(table.root)
+    val fs = root.getFileSystem(table.conf)
+    val metaDir = new Path(root, "meta")
+    val heads =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).toIndexedSeq.map(_.getPath)
+        .filter { p =>
+          val digits = p.getName.stripPrefix("v").stripSuffix(".json")
+          p.getName.startsWith("v") && p.getName.endsWith(".json") &&
+            digits.nonEmpty && digits.forall(_.isDigit) &&
+            digits.toLong < retainFromVersion.max(0)
+        }
+        .filter(fs.delete(_, false)).map(_.toString)
+    removed ++ heads
+  }
+
   /** Delete data files not referenced by any manifest at or above
     * `retainFromVersion` (orphans from lost CAS races or superseded
     * snapshots). Returns the deleted paths. Time-travel to versions below

@@ -43,6 +43,11 @@ object Explain {
       MergeInto.dedupeLatest(batch1, saltFactor = 0).explain("formatted")
       println("==== table read (bucket-pruned, live rows) ====")
       LakeTable(s"$work/t").read(spark, Some(Set(0, 1))).explain("formatted")
+      println("==== table read with merge-on-read deltas (scan-time LWW resolve) ====")
+      val batch2 = batch1.limit(500)
+      MergeInto.apply(spark, LakeTable(s"$work/t"), batch2, "x", 1,
+        MergeConfig(numBuckets = 8, deltaAppendThreshold = 1000L))
+      LakeTable(s"$work/t").read(spark).explain("formatted")
     }
 
     val names = if (args.nonEmpty) args.toSeq else Seq(

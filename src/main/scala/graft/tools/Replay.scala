@@ -40,14 +40,22 @@ object Replay {
 
     val feedDir = s"$workDir/feed"
     val tableDir = s"$workDir/table"
+    val nSegments = sys.env.get("GRAFT_REPLAY_SEGMENTS").map(_.toInt).getOrElse(8)
     val cfg = FeedConfig(numEvents = numEvents, numKeys = numKeys, zipf = zipf,
       deleteFraction = 0.05, dupFraction = 0.02, outOfOrderWindow = 1000,
-      eventsPerSegment = math.max(numEvents / 8, 1))
+      eventsPerSegment = math.max(numEvents / nSegments, 1))
     println(s"[replay] writing feed: $cfg -> $feedDir")
     val phaseDirs = ChangeGen.writeFeed(spark, feedDir, cfg)
 
     val table = LakeTable(tableDir)
-    val mergeCfg = MergeConfig(numBuckets = 16, lineageDir = Some(s"$workDir/lineage"))
+    // GRAFT_REPLAY_DELTA=<rows>: batches at or under the threshold take
+    // the merge-on-read append path (trickle-ingest shape); GRAFT_REPLAY_
+    // SEGMENTS overrides the batch count for trickle experiments
+    val deltaThreshold =
+      sys.env.get("GRAFT_REPLAY_DELTA").map(_.toLong).getOrElse(0L)
+    val mergeCfg = MergeConfig(numBuckets = 16,
+      lineageDir = Some(s"$workDir/lineage"),
+      deltaAppendThreshold = deltaThreshold)
     var applied = 0L
     if (mode == "stream") phaseDirs.zipWithIndex.foreach { case (phaseDir, i) =>
       CdcStream.runToCompletion(spark, StreamConfig(

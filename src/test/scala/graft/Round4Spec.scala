@@ -501,3 +501,70 @@ class DeltaAppendSpec extends SparkSpec {
     assert(t.filesOf(t.currentManifest()).forall(!_.isDelta))
   }
 }
+
+/** Round-4 metadata hygiene: O(1) current-version reads via a best-effort
+  * version hint (no directory listing per micro-batch), and snapshot
+  * expiry that bounds head-document accumulation on long-running tables.
+  */
+class SnapshotHygieneSpec extends SparkSpec {
+  import graft.table.{LakeTable, Maintenance}
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def ev(lsn: Long, key: String) =
+    RawEvent(lsn, key, Ops.Upsert, Array(lsn.toInt), 1, "s", null, 0)
+
+  test("version hint written per commit; stale/corrupt/missing hints never lie") {
+    val work = tmpDir("hint")
+    val root = s"$work/t"
+    val table = LakeTable(root)
+    (0 until 4).foreach { b =>
+      MergeInto.apply(spark, table, batchDf(Seq(ev(b + 1L, s"k$b"))), "cp",
+        b.toLong, MergeConfig(numBuckets = 2))
+    }
+    val hint = java.nio.file.Paths.get(s"$root/meta/version-hint.text")
+    assert(java.nio.file.Files.readString(hint).trim === "3")
+    assert(table.currentVersion() === 3L)
+    // stale hint: probe catches up
+    java.nio.file.Files.writeString(hint, "1")
+    assert(table.currentVersion() === 3L)
+    // corrupt hint: listing fallback
+    java.nio.file.Files.writeString(hint, "not a number")
+    assert(table.currentVersion() === 3L)
+    // missing hint: listing fallback; next commit restores it
+    java.nio.file.Files.delete(hint)
+    assert(table.currentVersion() === 3L)
+    MergeInto.apply(spark, table, batchDf(Seq(ev(99L, "k0"))), "cp", 99L,
+      MergeConfig(numBuckets = 2))
+    assert(java.nio.file.Files.readString(hint).trim === "4")
+  }
+
+  test("expireSnapshots retires old heads + their metadata; table intact") {
+    val work = tmpDir("expire")
+    val root = s"$work/t"
+    val table = LakeTable(root)
+    (0 until 6).foreach { b =>
+      MergeInto.apply(spark, table, batchDf(Seq(ev(b + 1L, s"k${b % 3}"))), "cp",
+        b.toLong, MergeConfig(numBuckets = 2))
+    }
+    val state = table.read(spark).collect().map(_.toSeq).toSet
+    val current = table.currentVersion()
+    val deleted = Maintenance.expireSnapshots(table, retainFromVersion = current - 1)
+    assert(deleted.nonEmpty)
+    val heads = Option(new java.io.File(s"$root/meta").listFiles).toSeq.flatten
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(heads.size === 2, s"expected 2 retained heads, got $heads")
+    // current state intact; time travel below the horizon is gone
+    assert(table.read(spark).collect().map(_.toSeq).toSet === state)
+    intercept[Exception](table.readVersion(spark, 0L).collect())
+    assert(table.readVersion(spark, current).count() === state.size)
+    // merges continue; hint still accurate
+    MergeInto.apply(spark, table, batchDf(Seq(ev(50L, "k0"))), "cp", 50L,
+      MergeConfig(numBuckets = 2))
+    assert(table.currentVersion() === current + 1)
+    // idempotent
+    assert(Maintenance.expireSnapshots(table, current - 1).isEmpty)
+  }
+}
