@@ -251,7 +251,7 @@ object MergeInto {
     }
     try {
 
-    val current = table.currentManifestOpt()
+    val current = timed("manifest-read")(table.currentManifestOpt())
 
     // -- 0. idempotence: replayed batch => no-op ------------------------
     val ledgerKey = s"$checkpointId/$batchId"
@@ -517,17 +517,17 @@ object MergeInto {
     // commit replays to the identical bytes (exactly-once metrics)
     cfg.lineageDir.foreach { dir =>
       import spark.implicits._
-      spark.createDataset(lineage).coalesce(1)
+      timed("lineage-write")(spark.createDataset(lineage).coalesce(1)
         .write.mode("overwrite")
-        .parquet(s"$dir/cp=$checkpointId/batch=$batchId")
+        .parquet(s"$dir/cp=$checkpointId/batch=$batchId"))
     }
 
     cfg.preCommitHook()
     // delta append REMOVES nothing: touched = empty keeps every parent
     // file and composeManifests appends the delta entries to their ranges
-    commitManifest(table, current, evolved, numBuckets,
+    timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
       if (isDeltaAppend) Set.empty else touched, newFiles,
-      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion)
+      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion))
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 

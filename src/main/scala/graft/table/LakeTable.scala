@@ -324,22 +324,33 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     val rng: Int => Int = LakeTable.rangeOf(_, numBuckets)
     val newByRange = newFiles.groupBy(f => rng(f.bucket))
     val legacy = parent.exists(m => m.manifests.isEmpty && m.files.nonEmpty)
+    // manifest files are independent — write them concurrently (a serial
+    // loop of N small FS creates is pure latency on the per-batch commit
+    // path; measured ~130 ms/commit at 32 ranges on local FS, worse on an
+    // object store)
+    def writeAll(ranges: Seq[(Int, Seq[FileEntry])]): Seq[ManifestRef] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(ranges.map { case (r, es) =>
+          Future(writeManifestFile(r, numBuckets, es))
+        }), Duration.Inf)
+    }
     if (parent.isEmpty || legacy) {
       val all = parent.map(_.files).getOrElse(Nil)
         .filterNot(f => touched.contains(f.bucket)) ++ newFiles
-      all.groupBy(f => rng(f.bucket)).toSeq.sortBy(_._1).map { case (r, es) =>
-        writeManifestFile(r, numBuckets, es)
-      }
+      writeAll(all.groupBy(f => rng(f.bucket)).toSeq.sortBy(_._1))
     } else {
       val parentRefs = parent.get.manifests.map(r => r.range -> r).toMap
       val touchedRanges = touched.map(rng) ++ newByRange.keySet
       val carried = parent.get.manifests.filterNot(r => touchedRanges.contains(r.range))
-      val rewritten = touchedRanges.toSeq.sorted.flatMap { r =>
+      val rewritten = writeAll(touchedRanges.toSeq.sorted.flatMap { r =>
         val kept = parentRefs.get(r).map(readManifestFile).getOrElse(Nil)
           .filterNot(f => touched.contains(f.bucket))
         val content = kept ++ newByRange.getOrElse(r, Nil)
-        if (content.isEmpty) None else Some(writeManifestFile(r, numBuckets, content))
-      }
+        if (content.isEmpty) None else Some(r -> content)
+      })
       (carried ++ rewritten).sortBy(_.range)
     }
   }
