@@ -712,6 +712,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF coarse-quantizer ANN (the second scale path): k-means lists on
+    // a deterministic sample, nprobe-list candidate pruning, exact cosine
+    // re-rank. No SQL oracle (k-means-specific); IvfSpec gates recall and
+    // proves nprobe=nlist == brute force.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nlist = 16, nprobe = 4)
+        .select("query_id", "nbr_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ================= archive explode (real JDK-only decode) ===========
 
     // UnpackContent / PST-reader shape (1 archive -> N records): documents

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Brute-force cosine top-k is the correctness baseline;
-  * random-hyperplane LSH bucketing is the scale path (candidate set
-  * shrinks by ~2^planes; recall traded via multi-probe of neighboring
-  * buckets).
+  * two scale paths: random-hyperplane LSH bucketing (candidate set shrinks
+  * by ~2^planes; recall traded via multi-probe of neighboring buckets) and
+  * an IVF coarse quantizer (k-means lists trained on a deterministic
+  * sample; queries probe the `nprobe` nearest lists).
   */
 object Ann {
 
@@ -84,6 +85,105 @@ object Ann {
       .select(col("query_id"), col("nbr_id"),
         Fns.cosine(col("qv"), col("cv")).as("sim"))
       .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
+  // ---- IVF (inverted-file) coarse quantizer ----------------------------
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def nearestList(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestSim = -3.0; var c = 0
+    while (c < cents.length) {
+      val s = cosLocal(cents(c), v)
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train `nlist` coarse centroids with Lloyd's algorithm on a
+    * DETERMINISTIC hash-ordered sample collected to the driver — the
+    * FAISS-style IVF recipe: the quantizer trains on a bounded sample
+    * (identical results on every run and at any corpus scale), only the
+    * ASSIGNMENT pass runs distributed. Empty clusters keep their previous
+    * centroid. Returns `min(nlist, sampleRows)` centroids.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+      sampleSize: Int = 4096, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter(_.nonEmpty)
+    require(rows.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val k = math.min(nlist, rows.length)
+    var cents = rows.take(k).map(_.clone)
+    val dim = rows.map(_.length).max
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      rows.foreach { v =>
+        val c = nearestList(cents, v)
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN: corpus vectors assigned to their nearest coarse centroid's
+    * inverted list (one distributed pass, tight-loop UDF over the
+    * broadcast centroids); each query probes its `nprobe` nearest lists
+    * and re-ranks candidates by exact cosine. Candidates shrink by
+    * ~nprobe/nlist; `nprobe = nlist` degenerates to exhaustive search and
+    * must equal brute force exactly (the IvfSpec identity gate).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val cents = trainCentroids(corpus, nlist, iters, idCol = idCol, vecCol = vecCol)
+    val assignU = udf { (v: Seq[Float]) =>
+      if (v == null || v.isEmpty) -1
+      else nearestList(cents, v.map(_.toDouble).toArray)
+    }
+    val probeU = udf { (v: Seq[Float]) =>
+      if (v == null || v.isEmpty) Array.empty[Int]
+      else {
+        val vd = v.map(_.toDouble).toArray
+        cents.indices
+          .map(c => (cosLocal(cents(c), vd), c))
+          .sortBy { case (s, c) => (-s, c) }
+          .take(nprobe).map(_._2).toArray
+      }
+    }
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("list_id", assignU(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(probeU(col("qv"))).as("list_id"))
+    val scored = q.join(c, Seq("list_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        Fns.cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
