@@ -624,3 +624,75 @@ class IvfSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 }
+
+/** Streaming trickle (the real deployment shape of the delta path): the
+  * CDC tail running with deltaAppendThreshold, including the exactly-once
+  * crash window and mid-stream schema evolution.
+  */
+class StreamingDeltaSpec extends SparkSpec {
+  import graft.stream.{CdcStream, StreamConfig}
+  import graft.table.LakeTable
+  import spark.implicits._
+
+  test("streaming tail with delta append matches the oracle across kill-resume") {
+    val work = tmpDir("stream-delta")
+    val feed = FeedConfig(numEvents = 10000, numKeys = 300, seed = 47,
+      deleteFraction = 0.08, dupFraction = 0.03, outOfOrderWindow = 300,
+      eventsPerSegment = 1000)
+    val Seq(phaseDir) = ChangeGen.writeFeed(spark, s"$work/feed", feed)
+    val base = StreamConfig(
+      feedDir = phaseDir, tableDir = s"$work/table",
+      checkpointDir = s"$work/cp", checkpointId = "sd",
+      maxFilesPerTrigger = 2,
+      merge = MergeConfig(numBuckets = 8, deltaAppendThreshold = 1000000L))
+    var batches = 0
+    val q = CdcStream.start(spark, base, (_, _) => {
+      batches += 1
+      if (batches == 2) throw new RuntimeException("simulated crash")
+    })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = CdcStream.runToCompletion(spark, base,
+      (id, res) => if (res.skipped) skipped += id)
+      .select("doc_id", "tokens", "lsn").collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(skipped.nonEmpty, "the committed-but-uncheckpointed batch must be skipped")
+    val oracle = ChangeGen.oracleFinalState(ChangeGen.generateLocal(feed))
+      .map { case (k, e) => k -> ((e.tokens.toSeq, e.lsn)) }
+    assert(got === oracle)
+    // it really streamed deltas (bootstrap batch is base, the rest append)
+    val t = LakeTable(s"$work/table")
+    assert(t.filesOf(t.currentManifest()).exists(_.isDelta))
+  }
+
+  test("delta append with a mid-stream ADD COLUMN evolves and null-fills") {
+    val work = tmpDir("delta-evolve")
+    val t = LakeTable(s"$work/t")
+    val cfg = MergeConfig(numBuckets = 2, deltaAppendThreshold = 100L)
+    def batchDf(events: Seq[RawEvent]): DataFrame =
+      ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+    // bootstrap SEVERAL keys so both buckets hold base files (a delta can
+    // only append to a bucket that already has files)
+    MergeInto.apply(spark, t, batchDf((1 to 6).map(i =>
+      RawEvent(i.toLong, s"k$i", Ops.Insert, Array(i), 1, "s", null, 0))),
+      "cp", 0, cfg)
+    // delta batch carrying a NEW column
+    val withExtra = Seq((10L, "k1", "U", Seq(10), 1, "s", "tagged"))
+      .toDF("lsn", "doc_id", "op", "tokens", "n_tok", "source", "tag")
+    MergeInto.apply(spark, t, withExtra, "cp", 1, cfg)
+    val m = t.currentManifest()
+    assert(m.schema.fieldNames.contains("tag"))
+    assert(t.filesOf(m).exists(_.isDelta))
+    val rows = t.read(spark).select("doc_id", "tag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // old base rows null-fill; the delta row carries its value
+    assert(rows === (2 to 6).map(i => s"k$i" -> None).toMap + ("k1" -> Some("tagged")))
+    // fold and re-check
+    graft.table.Maintenance.compact(spark, t)
+    val rows2 = t.read(spark).select("doc_id", "tag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows2 === rows)
+  }
+}
