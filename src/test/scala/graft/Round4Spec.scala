@@ -696,3 +696,66 @@ class StreamingDeltaSpec extends SparkSpec {
     assert(rows2 === rows)
   }
 }
+
+/** Torture property: random interleavings of EVERYTHING the table
+  * supports — trickle delta merges, rewrite merges, bucket-subset and
+  * watermarked compaction, vacuum, snapshot expiry, batch replay — must
+  * preserve the oracle state at every checkpoint. The tombstone
+  * watermark respects the feed's out-of-order window (the caller
+  * contract: never GC a fence an in-flight straggler still needs).
+  */
+class TortureSpec extends SparkSpec {
+  import graft.table.{LakeTable, Maintenance}
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def stateOf(t: LakeTable): Map[String, (Seq[Int], Long)] =
+    t.read(spark).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getLong(4)))).toMap
+
+  private def oracleOf(evs: Seq[RawEvent]): Map[String, (Seq[Int], Long)] =
+    ChangeGen.oracleFinalState(evs).map { case (k, e) => k -> ((e.tokens.toSeq, e.lsn)) }
+
+  test("random op sequences preserve the oracle state throughout") {
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val feed = FeedConfig(numEvents = 4000, numKeys = 150, seed = 1000L + trial,
+        deleteFraction = 0.15, dupFraction = 0.05, outOfOrderWindow = 400,
+        eventsPerSegment = 250) // 16 batches
+      val events = ChangeGen.generateLocal(feed)
+      val batches = events.groupBy(_.seg).toSeq.sortBy(_._1)
+      val table = LakeTable(tmpDir(s"torture-$trial"))
+      var applied = Vector.empty[RawEvent]
+      batches.foreach { case (seg, evs) =>
+        val thr = if (rnd.nextBoolean()) 1000000L else 0L // delta or rewrite
+        MergeInto.apply(spark, table, batchDf(evs), "cp", seg,
+          MergeConfig(numBuckets = 8, deltaAppendThreshold = thr))
+        applied ++= evs
+        rnd.nextInt(5) match {
+          case 0 =>
+            val subset = (0 until 8).filter(_ => rnd.nextBoolean()).toSet
+            Maintenance.compact(spark, table, buckets = Some(subset))
+          case 1 =>
+            // watermark stays BELOW anything still in flight
+            val wm = applied.map(_.lsn).max - 1000L
+            Maintenance.compact(spark, table, tombstoneWatermark = wm)
+          case 2 => Maintenance.vacuum(table, table.currentVersion())
+          case 3 if table.currentVersion() > 3 =>
+            Maintenance.expireSnapshots(table, table.currentVersion() - 2)
+          case _ => ()
+        }
+        if (seg % 4 == 3) assert(stateOf(table) === oracleOf(applied),
+          s"trial $trial diverged after batch $seg")
+      }
+      assert(stateOf(table) === oracleOf(applied), s"trial $trial final state")
+      // replay of a random earlier batch is a ledger no-op
+      val (rseg, revs) = batches(rnd.nextInt(batches.size))
+      val r = MergeInto.apply(spark, table, batchDf(revs), "cp", rseg,
+        MergeConfig(numBuckets = 8))
+      assert(r.skipped)
+      assert(stateOf(table) === oracleOf(applied), s"trial $trial post-replay")
+    }
+  }
+}
