@@ -321,11 +321,9 @@ object MergeInto {
     val storedNew = storedSchema(evolved)
     // delta files carry multiple versions per key: the target side of the
     // join must be LWW-resolved first or matched keys would fan out
-    def scanTarget(): DataFrame = {
-      val raw = alignTo(
-        spark.read.schema(storedOld).parquet(touchedFiles.map(_.path): _*), storedNew)
-      if (touchedFiles.exists(_.isDelta)) LakeTable.resolveLatest(raw) else raw
-    }
+    // (resolution windows ONLY the delta-bearing buckets)
+    def scanTarget(): DataFrame =
+      alignTo(table.scanResolved(spark, storedOld, touchedFiles), storedNew)
 
     // -- 5. MERGE join on the key ---------------------------------------
     val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq

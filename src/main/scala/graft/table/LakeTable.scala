@@ -435,12 +435,37 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     * promotion, Spark 4).
     */
   def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
-    val df = readStored(spark, buckets)
-    val resolved =
-      if (currentManifestOpt().exists(m => filesOf(m, buckets).exists(_.isDelta)))
-        LakeTable.resolveLatest(df)
-      else df
-    resolved.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+    currentManifestOpt() match {
+      case None =>
+        readStored(spark, buckets)
+          .filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+      case Some(m) =>
+        val stored = LakeTable.storedSchema(m.schema)
+        scanResolved(spark, stored, filesOf(m, buckets))
+          .filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+    }
+  }
+
+  /** Scan `files` with the LWW resolution applied ONLY to buckets that
+    * actually contain delta files — delta-free buckets scan plain, no
+    * window, no shuffle. At scale deltas concentrate in recently-written
+    * buckets; reading the whole table must not pay a resolution exchange
+    * for the compacted majority.
+    */
+  def scanResolved(spark: SparkSession, stored: StructType,
+      files: Seq[FileEntry]): DataFrame = {
+    def scan(fs: Seq[FileEntry]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+      else spark.read.schema(stored).parquet(fs.map(_.path): _*)
+    val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) scan(files)
+    else {
+      val (affected, plain) = files.partition(f => deltaBuckets.contains(f.bucket))
+      val resolved = LakeTable.resolveLatest(scan(affected))
+      if (plain.isEmpty) resolved else resolved.unionByName(scan(plain))
+    }
   }
 
   /** Time travel: live rows as of snapshot `version` (every manifest is
@@ -450,15 +475,8 @@ final class LakeTable private (val root: String, val conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val m = readManifest(version)
     val stored = LakeTable.storedSchema(m.schema)
-    val files = filesOf(m)
-    val df =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
-      else spark.read.schema(stored).parquet(files.map(_.path): _*)
-    val resolved =
-      if (files.exists(_.isDelta)) LakeTable.resolveLatest(df) else df
-    resolved.filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
+    scanResolved(spark, stored, filesOf(m))
+      .filter(!col(LakeTable.TOMBSTONE)).drop(LakeTable.TOMBSTONE)
   }
 
   /** Read the physical table state including tombstone rows. */

@@ -61,13 +61,10 @@ object Maintenance {
     val nTouchedBuckets = touchedBuckets.size
 
     // merge-on-read deltas fold back into one base file per bucket here:
-    // LWW-resolve multi-version keys FIRST, then the tombstone filter
-    // (the resolved winner may be a tombstone — the key must drop, not
-    // fall back to a stale base row)
-    val raw = spark.read.schema(stored).parquet(touched.map(_.path): _*)
-    val resolved =
-      if (touched.exists(_.isDelta)) LakeTable.resolveLatest(raw) else raw
-    val df = resolved
+    // LWW-resolve multi-version keys FIRST (delta-bearing buckets only),
+    // then the tombstone filter (the resolved winner may be a tombstone —
+    // the key must drop, not fall back to a stale base row)
+    val df = table.scanResolved(spark, stored, touched)
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
