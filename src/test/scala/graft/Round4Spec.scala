@@ -759,3 +759,40 @@ class TortureSpec extends SparkSpec {
     }
   }
 }
+
+/** Snapshot isolation: a reader's plan binds to the manifest it was
+  * created from — concurrent commits (including compaction rewrites)
+  * never change what an in-flight reader sees, because data and manifest
+  * files are immutable and only vacuum/expiry below a retention horizon
+  * can invalidate them.
+  */
+class SnapshotIsolationSpec extends SparkSpec {
+  import graft.table.{LakeTable, Maintenance}
+  import spark.implicits._
+
+  private def batchDf(events: Seq[RawEvent]): DataFrame =
+    ChangeGen.projectPhase(events.toDF(), Phase(0, Long.MaxValue)).drop("seg")
+
+  private def ev(lsn: Long, key: String) =
+    RawEvent(lsn, key, Ops.Upsert, Array(lsn.toInt), 1, "s", null, 0)
+
+  test("an in-flight reader is isolated from later commits and compactions") {
+    val work = tmpDir("iso")
+    val table = LakeTable(s"$work/t")
+    MergeInto.apply(spark, table, batchDf((1 to 10).map(i => ev(i.toLong, s"k$i"))),
+      "cp", 0, MergeConfig(numBuckets = 4))
+    // plan the read against the v0 snapshot, do NOT collect yet
+    val reader = table.read(spark)
+    // concurrent writer activity: new data, a delta, a compaction
+    MergeInto.apply(spark, table, batchDf(Seq(ev(100L, "k1"), ev(101L, "new1"))),
+      "cp", 1, MergeConfig(numBuckets = 4, deltaAppendThreshold = 10L))
+    Maintenance.compact(spark, table)
+    // the in-flight reader still sees exactly the v0 state
+    val got = reader.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got === (1 to 10).map(i => s"k$i" -> i.toLong).toMap)
+    // a FRESH reader sees the new state
+    val fresh = table.read(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(fresh("k1") === 100L && fresh("new1") === 101L && fresh.size === 11)
+  }
+}
