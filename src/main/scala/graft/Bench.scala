@@ -318,7 +318,10 @@ object Bench {
     def repsFor(level: Int): Int =
       repsOverride.getOrElse(
         if (scalingPair.contains(level) || level == levels.max) 2 else 1)
-    val skewReps = repsOverride.getOrElse(1)
+    // zipf rides the same 2-child-JVM protection as the scaling pair and
+    // top level: round 4's single skew child landed in a loaded window and
+    // read 514k where the builder's quiet run read 953k
+    val skewReps = repsOverride.getOrElse(2)
     val doSkew = !sys.env.get("SPARK_GRAFT_BENCH_SKEW").contains("0")
 
     // hardware parallel-scaling ceilings: raw multi-threaded spin and
@@ -545,7 +548,7 @@ object Bench {
     // single fat line truncates there (BENCH_r03 shipped parsed:null), so
     // the LAST line printed below is a compact summary guaranteed to fit.
     val detail =
-      s"""{"metric":"graft cdc merge throughput (events/sec; fresh JVM per level-rep, 2 JVMs x $$SPARK_GRAFT_BENCH_CHILD_REPS samples on scaling pair + top level) + operator query sec (best of 2 for the expensive tail)","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}"""
+      s"""{"metric":"graft cdc merge throughput (events/sec; fresh JVM per level-rep, 2 JVMs x ${sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_REPS", "3")} samples on scaling pair + top level + zipf) + operator query sec (best of 2 for the expensive tail)","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       new java.io.File("BENCH_detail.json").getAbsolutePath)
     try {

@@ -99,6 +99,32 @@ object SparkEntry {
           (d("doc_id") % 9).cast("string"), lit("BB")))
         .otherwise(lit("")))
 
+  /** Exact cosine top-k in DuckDB — the oracle for `ann_bruteforce_topk`
+    * AND for `ann_ivf_exhaustive` (IVF with nprobe = nlist probes every
+    * inverted list, degenerating to exhaustive search; IvfSpec proves the
+    * identity, this SQL makes it driver-visible).
+    */
+  private val bruteForceAnnSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+      |p AS (
+      |  SELECT query_id, nbr_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+      |    sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS qn,
+      |    sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+      |      i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS cn
+      |  FROM q CROSS JOIN c WHERE query_id <> nbr_id),
+      |ranked AS (
+      |  SELECT query_id, nbr_id, dot / (qn * cn) AS sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dot / (qn * cn) DESC, nbr_id ASC) AS rank
+      |  FROM p)
+      |SELECT query_id, nbr_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private val entityTextSql: String =
     """text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.org'
       |  || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
@@ -719,6 +745,17 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nlist = 16, nprobe = 4)
+        .select("query_id", "nbr_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF at nprobe = nlist probes EVERY inverted list — exhaustive by
+    // construction, provably identical to brute force (IvfSpec identity) —
+    // so the brute-force DuckDB oracle gates the whole IVF machinery
+    // (training, assignment, probe, re-rank) end-to-end in the driver.
+    "ann_ivf_exhaustive" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nlist = 16, nprobe = 16)
         .select("query_id", "nbr_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -1413,26 +1450,11 @@ object SparkEntry {
         |FROM p WHERE round(dot / (na * nb), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "ann_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        |p AS (
-        |  SELECT query_id, nbr_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-        |    sqrt(list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) AS qn,
-        |    sqrt(list_sum(list_transform(range(1, len(cv) + 1),
-        |      i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS cn
-        |  FROM q CROSS JOIN c WHERE query_id <> nbr_id),
-        |ranked AS (
-        |  SELECT query_id, nbr_id, dot / (qn * cn) AS sim,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY dot / (qn * cn) DESC, nbr_id ASC) AS rank
-        |  FROM p)
-        |SELECT query_id, nbr_id, round(sim, 4) AS sim, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "ann_bruteforce_topk" -> bruteForceAnnSql,
+
+    // exact-equality oracle for the exhaustive-degenerate IVF case:
+    // nprobe = nlist probes every list, so the result IS brute force
+    "ann_ivf_exhaustive" -> bruteForceAnnSql,
 
     "archive_explode" ->
       """SELECT doc_id % 10 AS zip_id,

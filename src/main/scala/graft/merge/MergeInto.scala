@@ -440,51 +440,36 @@ object MergeInto {
     val merged = mergedFlat.withColumn("_bucket", bucketOf(col("doc_id")))
 
     // -- 6. write the merged buckets, KEEPING the _status column in the
-    // staged files. Table reads are schema-first (explicit StructType), so
-    // the extra column is pruned for free on every later scan; its cost is
-    // ~1 dictionary-encoded byte/row once. This replaces the previous
-    // design (per-bucket status counters as an Observation riding the
-    // write): 8 metrics x numBuckets flat conditional aggregates made a
-    // 256-expression CollectMetrics whose analysis + janino codegen
-    // recompiled EVERY batch (path literals change) — measured ~5 s of
-    // serial driver time per batch, the Amdahl term that capped 2->8
-    // scaling at ~0.5 (see BENCH.md round 2).
+    // staged files (table reads are schema-first, so the extra column is
+    // pruned for free on every later scan; its cost is ~1 dictionary-
+    // encoded byte/row once), with the per-bucket lineage stats riding
+    // the write as ONE typed-aggregate Observation ([[BucketStats]]) —
+    // no second pass over the staged output and one fewer Spark job on
+    // the per-batch serial path. (Design history — flat 256-expression
+    // observation, then a read-back job — in the BucketStats doc.)
     val bucketIds = touched.toSeq.sorted
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)
+    val obs = new org.apache.spark.sql.Observation(s"graft-merge-$ledgerKey")
     // a trickle delta batch writes ONE task (one small file per touched
     // bucket dir) — no point fanning a few thousand rows over N tasks
     timed("merge-write")(merged
+      .observe(obs, BucketStats.agg(col("_bucket"), col("_status"), col("lsn"))
+        .as("bucket_stats"))
       .repartition(if (isDeltaAppend) 1 else touched.size.max(1), col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
-    // -- 7. per-bucket lineage stats from a COLUMNAR READ-BACK of the
-    // staged output (reads only _bucket/_status/lsn; <= numBuckets result
-    // rows; a fixed small plan that hits the codegen cache across batches)
-    // explicit read schema: skips the per-batch driver-side footer
-    // schema-merge of the freshly staged files (a fixed per-batch cost
-    // that does not scale with executors)
-    val readbackSchema = StructType(Seq(
-      StructField("lsn", LongType), StructField("_status", StringType),
-      StructField("_bucket", IntegerType)))
-    val statRows = timed("lineage-readback")(spark.read.schema(readbackSchema).parquet(staging)
-      .groupBy(col("_bucket"))
-      .agg(count(lit(1)).as("n"),
-        min("lsn").as("minL"), max("lsn").as("maxL"),
-        sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
-        sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
-        sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
-        sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
-        sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
-      .collect())
-      .map(r => r.getInt(0) -> r).toMap
+    // -- 7. per-bucket lineage stats from the observation (the write
+    // above already ran; get() returns without blocking)
+    val statRows: Map[Int, Array[Long]] =
+      timed("lineage-stats")(BucketStats.decode(obs.get.getOrElse("bucket_stats", null)))
 
     val outStats = bucketIds.map { b =>
       val s = statRows.get(b)
-      b -> ((s.map(_.getLong(1)).getOrElse(0L),
-        s.map(_.getLong(2)).getOrElse(Long.MaxValue),
-        s.map(_.getLong(3)).getOrElse(Long.MinValue)))
+      b -> ((s.map(_(BucketStats.N)).getOrElse(0L),
+        s.map(_(BucketStats.MinL)).getOrElse(Long.MaxValue),
+        s.map(_(BucketStats.MaxL)).getOrElse(Long.MinValue)))
     }.toMap
     val newFiles = timed("enumerate-staged")(
       table.enumerateStaged(staging, outStats, isDelta = isDeltaAppend))
@@ -493,7 +478,8 @@ object MergeInto {
     val lineage = bucketIds.map { b =>
       val (nRaw, minL, maxL) = batchStats(b)
       val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
-        case Some(r) => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+        case Some(a) => (a(BucketStats.NI), a(BucketStats.NU),
+          a(BucketStats.ND), a(BucketStats.NDn), a(BucketStats.NS))
         case None => (0L, 0L, 0L, 0L, 0L)
       }
       // rows that carried a change = the batch's distinct keys
@@ -512,12 +498,20 @@ object MergeInto {
 
     // lineage parquet lands BEFORE the manifest CAS, at a deterministic
     // per-batch path with overwrite: a crash on either side of the
-    // commit replays to the identical bytes (exactly-once metrics)
-    cfg.lineageDir.foreach { dir =>
-      import spark.implicits._
-      timed("lineage-write")(spark.createDataset(lineage).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$dir/cp=$checkpointId/batch=$batchId"))
+    // commit replays to the identical bytes (exactly-once metrics).
+    // The write runs CONCURRENTLY with manifest composition (both are
+    // serial per-batch latency — a 1-task Spark job and a handful of
+    // small FS creates — with no data dependency); the commit itself
+    // awaits it, preserving the lands-before-CAS ordering.
+    val lineageF = cfg.lineageDir.map { dir =>
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Future {
+        import spark.implicits._
+        timed("lineage-write")(spark.createDataset(lineage).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$dir/cp=$checkpointId/batch=$batchId"))
+      }
     }
 
     cfg.preCommitHook()
@@ -525,7 +519,9 @@ object MergeInto {
     // file and composeManifests appends the delta entries to their ranges
     timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
       if (isDeltaAppend) Set.empty else touched, newFiles,
-      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion))
+      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion,
+      beforeCommit = () => lineageF.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))))
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 
@@ -540,7 +536,12 @@ object MergeInto {
       lineage: Seq[graft.model.LineageRow],
       ledgerRetention: Int = 1024,
       snapshotId: String = UUID.randomUUID().toString,
-      versionOverride: Long = -1L): MergeResult = {
+      versionOverride: Long = -1L,
+      /** Runs after manifest composition, immediately before the CAS —
+        * the join point for work overlapped with composition (lineage
+        * write) that must still land before the commit.
+        */
+      beforeCommit: () => Unit = () => ()): MergeResult = {
     val version =
       if (versionOverride >= 0) versionOverride
       else current.map(_.version + 1).getOrElse(0L)
@@ -565,6 +566,7 @@ object MergeInto {
       ledger = ledger,
       floorBatch = floor,
       manifests = manifests)
+    beforeCommit()
     table.commit(m)
     MergeResult(snapshotId, version, lineage, skipped = false)
   }

@@ -94,9 +94,16 @@ object Ann {
 
   // ---- IVF (inverted-file) coarse quantizer ----------------------------
 
+  /** Exact cosine between same-length vectors. Mismatched lengths RAISE
+    * (the HyperplaneBucket contract): silently truncating to the shorter
+    * prefix would train centroids / rank candidates on partial vectors
+    * without a whisper on a ragged corpus.
+    */
   private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length,
+      s"ragged vectors in IVF path: ${a.length} vs ${b.length} components")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
   }
@@ -122,16 +129,22 @@ object Ann {
       sampleSize: Int = 4096, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
     val rows = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .flatMap(r => Option(r.getSeq[Float](1)).map(_.map(_.toDouble).toArray))
       .filter(_.nonEmpty)
     require(rows.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val k = math.min(nlist, rows.length)
     var cents = rows.take(k).map(_.clone)
-    val dim = rows.map(_.length).max
+    val dim = rows.head.length
+    // ragged sample = contract violation (mirrors cosLocal): raise here,
+    // at training time, not deep inside an executor UDF
+    require(rows.forall(_.length == dim),
+      s"ragged embedding column '$vecCol': sample has lengths " +
+        rows.map(_.length).distinct.sorted.mkString("{", ",", "}"))
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)

@@ -1,7 +1,7 @@
 package graft.stream
 
 import graft.merge.{MergeConfig, MergeInto}
-import graft.table.LakeTable
+import graft.table.{LakeTable, Maintenance}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -21,6 +21,39 @@ import org.apache.spark.sql.types.StructType
   * @param processingTime    trigger interval; None = Trigger.AvailableNow
   *                          (drain the feed, then stop — used for replay
   *                          verification and benchmarks)
+  * @param maintenanceEvery  run table maintenance inline every N APPLIED
+  *                          batches (0 = off): compact the most-fragmented
+  *                          buckets (folds merge-on-read deltas back into
+  *                          base files, drops tombstones at or below the
+  *                          feed's applied low-watermark) and expire
+  *                          snapshot history beyond `retainSnapshots`.
+  *                          This is the 100-TB operating mode — delta
+  *                          append + periodic fold + metadata expiry —
+  *                          wired into the stream itself, matching the
+  *                          reference's flow-embedded maintenance posture
+  *                          (its upserts groom the keyed store inline, not
+  *                          from a separate operator run). Maintenance
+  *                          commits ride the same CAS as merges, so a
+  *                          crash mid-maintenance is safe; a replay skips
+  *                          the merge (ledger) and simply re-grooms.
+  * @param maintenanceBuckets buckets compacted per maintenance cycle
+  *                          (bounded work per cycle — the run is
+  *                          O(selected buckets), never a table rewrite)
+  * @param retainSnapshots   snapshot heads kept when maintenance expires
+  *                          history (time travel below the horizon stops
+  *                          working — that is the point)
+  * @param cleanSource       file-source hygiene: "delete" removes feed
+  *                          segments once committed, "archive" moves them
+  *                          under `sourceArchiveDir`. Without it a
+  *                          year-long feed's source listing (and the
+  *                          checkpoint's seen-files log) grows O(history)
+  *                          — the same debt class the table side's
+  *                          version hint killed.
+  * @param sourceArchiveDir  destination for cleanSource = "archive"
+  * @param maxFileAge        ignore-and-forget horizon for feed segments
+  *                          (bounds the seen-files map the source carries
+  *                          in memory/checkpoint); None keeps Spark's
+  *                          default ("7d")
   */
 final case class StreamConfig(
     feedDir: String,
@@ -29,7 +62,26 @@ final case class StreamConfig(
     checkpointId: String = "cdc",
     maxFilesPerTrigger: Int = 4,
     processingTime: Option[String] = None,
-    merge: MergeConfig = MergeConfig())
+    merge: MergeConfig = MergeConfig(),
+    maintenanceEvery: Int = 0,
+    maintenanceBuckets: Int = 4,
+    retainSnapshots: Int = 8,
+    /** Bounded-disorder promise for tombstone GC: no change event arrives
+      * more than this many LSNs behind the highest LSN already applied.
+      * Maintenance then GCs tombstones at or below (max applied LSN -
+      * slack) — they can no longer fence anything the feed will still
+      * deliver. Long.MaxValue (default) = no promise, keep all tombstones
+      * (compaction still folds deltas and merges files).
+      *
+      * The promise must cover the feed's TOTAL reordering — transport
+      * jitter AND redelivery (an at-least-once feed re-sending an event
+      * later keeps its original LSN). Understating it re-opens the
+      * resurrection window the tombstones exist to close.
+      */
+    tombstoneSlackLsn: Long = Long.MaxValue,
+    cleanSource: Option[String] = None,
+    sourceArchiveDir: Option[String] = None,
+    maxFileAge: Option[String] = None)
 
 /** Structured Streaming driver: tail the change feed, apply each
   * micro-batch through the MERGE kernel, commit exactly-once.
@@ -60,12 +112,22 @@ object CdcStream {
       cfg: StreamConfig,
       onBatch: (Long, graft.merge.MergeResult) => Unit = (_, _) => ()): StreamingQuery = {
     val schema = feedSchema(spark, cfg.feedDir)
-    val feed = spark.readStream
+    val feed0 = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+    val feed1 = cfg.cleanSource.foldLeft(feed0)(_.option("cleanSource", _))
+    val feed2 = cfg.sourceArchiveDir.foldLeft(feed1)(_.option("sourceArchiveDir", _))
+    val feed = cfg.maxFileAge.foldLeft(feed2)(_.option("maxFileAge", _))
       .parquet(cfg.feedDir)
 
     val table = LakeTable(cfg.tableDir)
+    // applied (non-skipped) batches since start — drives the maintenance
+    // cadence; deliberately NOT batchId-based so a restart that replays a
+    // skipped batch doesn't double-groom
+    var applied = 0L
+    // highest LSN applied so far — the tombstone-GC watermark base under
+    // the bounded-disorder promise (tombstoneSlackLsn)
+    var maxAppliedLsn = Long.MinValue
     val writer = feed.writeStream
       .queryName(s"cdc-${cfg.checkpointId}")
       .option("checkpointLocation", cfg.checkpointDir)
@@ -77,9 +139,38 @@ object CdcStream {
         val batch = df.drop("seg", "phase")
         val res = MergeInto.apply(df.sparkSession, table, batch,
           cfg.checkpointId, batchId, cfg.merge)
+        if (!res.skipped) {
+          applied += 1
+          maxAppliedLsn = (maxAppliedLsn +:
+            res.lineage.map(_.max_lsn)).filter(_ != Long.MinValue)
+            .maxOption.getOrElse(Long.MinValue)
+          if (cfg.maintenanceEvery > 0 && applied % cfg.maintenanceEvery == 0)
+            maintain(df.sparkSession, table, cfg, maxAppliedLsn)
+        }
         onBatch(batchId, res)
       }
     writer.start()
+  }
+
+  /** One inline maintenance cycle: compact the k most fragmented buckets
+    * (folding merge-on-read deltas back into base files; GC'ing
+    * tombstones at or below `maxAppliedLsn - tombstoneSlackLsn`, which
+    * the bounded-disorder promise says nothing in the feed can still
+    * undercut), then expire snapshot history beyond the retention window.
+    */
+  private def maintain(spark: SparkSession, table: LakeTable,
+      cfg: StreamConfig, maxAppliedLsn: Long): Unit = {
+    val frag = Maintenance.mostFragmented(table, cfg.maintenanceBuckets)
+    if (frag.nonEmpty) {
+      val wm =
+        if (cfg.tombstoneSlackLsn == Long.MaxValue ||
+          maxAppliedLsn == Long.MinValue) Long.MinValue
+        else try math.subtractExact(maxAppliedLsn, cfg.tombstoneSlackLsn)
+        catch { case _: ArithmeticException => Long.MinValue }
+      Maintenance.compact(spark, table, wm, Some(frag)): Unit
+    }
+    val horizon = table.currentVersion() - cfg.retainSnapshots.max(1)
+    if (horizon > 0) Maintenance.expireSnapshots(table, horizon): Unit
   }
 
   /** Drain the whole feed synchronously (AvailableNow + await). Returns the

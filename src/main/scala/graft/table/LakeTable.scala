@@ -555,7 +555,12 @@ object LakeTable {
     * one task before partial top-1 pruning.
     */
   def resolveLatest(df: DataFrame): DataFrame = {
-    val ver = regexp_extract(input_file_name(), "/s([0-9]+)/", 1).cast("long")
+    // greedy ".*" prefix anchors the match to the LAST /s<digits>/ path
+    // segment — the staging dir (data/s<version>/_bucket=N/...), never an
+    // earlier coincidental segment in the table root (e.g. /home/s123/...),
+    // which would flatten _file_ver and make equal-LSN base-vs-delta ties
+    // nondeterministic instead of newer-commit-wins
+    val ver = regexp_extract(input_file_name(), ".*/s([0-9]+)/", 1).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("lsn").desc, col("_file_ver").desc)

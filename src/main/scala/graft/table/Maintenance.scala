@@ -164,7 +164,8 @@ object Maintenance {
     * touched, so vacuum can run alongside writers. (The same guard an
     * Iceberg orphan-file sweep gets from a minimum file age.)
     */
-  def vacuum(table: LakeTable, retainFromVersion: Long): Seq[String] = {
+  def vacuum(table: LakeTable, retainFromVersion: Long,
+      orphanManifestAgeMs: Long = Long.MaxValue): Seq[String] = {
     val conf = table.conf
     val root = new Path(table.root)
     val fs = root.getFileSystem(conf)
@@ -179,9 +180,12 @@ object Maintenance {
       }.toSet
     // manifest-file GC: m-*.json referenced ONLY by heads below the
     // horizon are superseded metadata. Files referenced by NO head at all
-    // are left alone — they may belong to an in-flight commit whose head
-    // CAS has not landed yet (the same guard the data sweep gets from the
-    // s<v> <= current rule).
+    // are left alone UNLESS older than `orphanManifestAgeMs` — a young
+    // unreferenced manifest may belong to an in-flight commit whose head
+    // CAS has not landed yet (the age window is the same guard an Iceberg
+    // orphan sweep uses; the data sweep gets it from the s<v> <= current
+    // rule). Without the age sweep, manifests orphaned by LOST CAS races
+    // would leak forever — no committed-version rule ever covers them.
     def refsOf(vs: Iterable[Long]): Set[String] = vs.flatMap { v =>
       try table.readManifest(v).manifests.map(_.path)
       catch { case _: java.io.FileNotFoundException => Nil }
@@ -189,11 +193,21 @@ object Maintenance {
     val liveRefs = refsOf(retainFrom to current)
     val deadRefs = refsOf(0L until retainFrom) -- liveRefs
     val metaDir = new Path(root, "meta")
-    val deletedManifests = deadRefs.toSeq.sorted.filter { name =>
+    val allRefs = liveRefs ++ refsOf(0L until retainFrom)
+    val now = System.currentTimeMillis()
+    val agedOrphans: Set[String] =
+      if (orphanManifestAgeMs == Long.MaxValue || !fs.exists(metaDir)) Set.empty
+      else fs.listStatus(metaDir).toIndexedSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("m-") &&
+          s.getPath.getName.endsWith(".json") &&
+          !allRefs.contains(s.getPath.getName) &&
+          now - s.getModificationTime > orphanManifestAgeMs)
+        .map(_.getPath.getName).toSet
+    val deletedManifests = (deadRefs ++ agedOrphans).toSeq.sorted.filter { name =>
       fs.delete(new Path(metaDir, name), false)
     }.map(name => new Path(metaDir, name).toString)
     val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return Nil
+    if (!fs.exists(dataDir)) return deletedManifests
     // only sweep staging dirs of committed versions: s<v> with v <= current
     val committedStaging = fs.listStatus(dataDir).toIndexedSeq
       .filter(_.isDirectory)
