@@ -93,6 +93,35 @@ object Bench {
       .asScala.map(_.getCollectionTime.max(0L)).sum
   }
 
+  /** Whole-host CPU jiffies from /proc/stat: user, nice, system, idle,
+    * iowait, irq, softirq, steal. Used to stamp each measurement window
+    * with host health — a sandbox whose hypervisor steals 10%+ or whose
+    * kernel burns 20%+ system time produces engine rates 10-30x below the
+    * same binary's quiet-window rate (measured 2026-08-17: the UNCHANGED
+    * round-4 binary replayed the same feed at 22.6k ev/s in a sick window
+    * vs its committed 763k), and an artifact that can't show that window
+    * was sick invites misreading an environment collapse as an engine
+    * regression.
+    */
+  private def cpuJiffies(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val line = src.getLines().next()
+        Some(line.trim.split("\\s+").drop(1).take(8).map(_.toLong))
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Fractions (user+nice, system+irq+softirq, steal, idle+iowait) of the
+    * host CPU over the window between two cpuJiffies samples.
+    */
+  private def hostFractions(a: Array[Long], b: Array[Long]): Array[Double] = {
+    val d = b.zip(a).map { case (x, y) => (x - y).max(0L).toDouble }
+    val tot = d.sum.max(1.0)
+    Array((d(0) + d(1)) / tot, (d(2) + d(5) + d(6)) / tot, d(7) / tot,
+      (d(3) + d(4)) / tot)
+  }
+
   private def mergeCfgFromEnv(): MergeConfig = MergeConfig(
     numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "32").toInt,
     saltFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SALT", "0").toInt,
@@ -375,6 +404,20 @@ object Bench {
     var repsByLevel = Map.empty[Int, Seq[ChildResult]]
     var skewRate = 0.0
     var sameclockRate = 0.0 // low level re-measured in the high level's clock regime
+    // host-health stamp per measurement window: (window label, fractions
+    // user/system/steal/idle) — see cpuJiffies
+    val hostWindows = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
+    def sampledLevel(label: String)(run: => ChildResult): ChildResult = {
+      val h0 = cpuJiffies()
+      val res = run
+      for (a <- h0; b <- cpuJiffies()) {
+        val fr = hostFractions(a, b)
+        hostWindows += ((label, fr))
+        log(f"host window $label: user ${fr(0) * 100}%.0f%% sys ${fr(1) * 100}%.0f%% " +
+          f"steal ${fr(2) * 100}%.0f%% idle ${fr(3) * 100}%.0f%%")
+      }
+      res
+    }
     if (mode != "queries") {
       // generate feeds once (deterministic content; generation not timed)
       locally {
@@ -403,7 +446,8 @@ object Bench {
             case Some(l) => (l, s"$work/feed", s"$l-$r", s"local[$l]")
             case None => (skewLevel, s"$work/feed-skew", s"skew-$r", s"zipf local[$skewLevel]")
           }
-          val res = runLevel(l, work, feedDir, s"$work/feed-warm", tag)
+          val res = sampledLevel(s"$label rep$r")(
+            runLevel(l, work, feedDir, s"$work/feed-warm", tag))
           log(f"$label rep$r: best ${res.sec}%.1f s = ${nEvents / res.sec}%.0f events/s " +
             s"(samples ${res.samples.map(s => f"$s%.1f").mkString("/")} s, " +
             f"warm ${res.warmSec}%.1f s, gc ${res.gcMs} ms, jit ${res.jitMs} ms)")
@@ -427,8 +471,9 @@ object Bench {
           !sys.env.get("SPARK_GRAFT_BENCH_SAMECLOCK").contains("0")) {
         val lo = scalingPair.min
         val hi = scalingPair.max
-        val res = runLevel(lo, work, s"$work/feed", s"$work/feed-warm",
-          "sameclock", bgSpin = hi - lo)
+        val res = sampledLevel(s"local[$lo] sameclock")(
+          runLevel(lo, work, s"$work/feed", s"$work/feed-warm",
+            "sameclock", bgSpin = hi - lo))
         sameclockRate = nEvents / res.sec
         log(f"local[$lo] same-clock (+${hi - lo} bg spinners): best ${res.sec}%.1f s" +
           f" = $sameclockRate%.0f events/s " +
@@ -536,9 +581,18 @@ object Bench {
     val headline = rateByLevel.values.map(_._1).maxOption.getOrElse(0.0)
     val repsJson = levels.sorted.map(l => s""""local$l":${repsFor(l)}""")
       .mkString("{", ",", s""","skew":$skewReps}""")
+    // host-health stamps: one row per child-JVM window (user/system/steal/
+    // idle fractions of ALL host cpus) — lets a reader separate "engine
+    // got slower" from "the sandbox was sick in this window"
+    val hostJson = hostWindows.map { case (label, fr) =>
+      s"""{"window":"$label","user":${f(fr(0))},"sys":${f(fr(1))},""" +
+        s""""steal":${f(fr(2))},"idle":${f(fr(3))}}"""
+    }.mkString("[", ",", "]")
+    val hostSysStealMax = hostWindows.map(w => w._2(1) + w._2(2)).maxOption.getOrElse(0.0)
     val cdc =
       s"""{"events":$nEvents,"reps":$repsJson,"estimator":"best of all samples (one-sided host noise); headline = max over levels","isolation":"fresh JVM per level-rep; k warmed timed replays per child",""" +
         s""""rates":$rateJson,"scaling_efficiency":$effPairs,""" +
+        s""""host_windows":$hostJson,""" +
         s""""events_per_sec_headline":${f(headline)},""" +
         s""""events_per_sec_zipf1.1":${f(skewRate)}}"""
 
@@ -583,7 +637,7 @@ object Bench {
       s""""${a}_$b":{"raw":${f(e)},"vs_membw":${f(if (hm > 0) e / hm else 0.0)},"vs_cpu":${f(if (h > 0) e / h else 0.0)}""" +
         (if (sc > 0) s""","sameclock":${f(sc)}""" else "") + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"cdc merge events/sec (headline = best sample across levels) + total query sec over ${queryTimes.size} operator queries (10 slowest inline; full map + all samples in BENCH_detail.json)","value":${f2(total)},"unit":"sec","queries":$qs2,"queries_n":${queryTimes.size},"queries_failed":$nFailed,"sf":"$sfDir","cdc":{"events":$nEvents,"rates":$ratesC,"zipf":${fi(skewRate)},"sameclock_lo":${fi(sameclockRate)},"eff":$effC,"events_per_sec_headline":${fi(headline)}}}""")
+    println(s"""{"metric":"cdc merge events/sec (headline = best sample across levels) + total query sec over ${queryTimes.size} operator queries (10 slowest inline; full map + all samples in BENCH_detail.json)","value":${f2(total)},"unit":"sec","queries":$qs2,"queries_n":${queryTimes.size},"queries_failed":$nFailed,"sf":"$sfDir","cdc":{"events":$nEvents,"rates":$ratesC,"zipf":${fi(skewRate)},"sameclock_lo":${fi(sameclockRate)},"eff":$effC,"host_sys_steal_max":${f(hostSysStealMax)},"events_per_sec_headline":${fi(headline)}}}""")
     // free the (possibly tmpfs) work dir
     rmr(new java.io.File(work))
   }

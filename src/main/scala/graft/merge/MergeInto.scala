@@ -440,36 +440,58 @@ object MergeInto {
     val merged = mergedFlat.withColumn("_bucket", bucketOf(col("doc_id")))
 
     // -- 6. write the merged buckets, KEEPING the _status column in the
-    // staged files (table reads are schema-first, so the extra column is
-    // pruned for free on every later scan; its cost is ~1 dictionary-
-    // encoded byte/row once), with the per-bucket lineage stats riding
-    // the write as ONE typed-aggregate Observation ([[BucketStats]]) —
-    // no second pass over the staged output and one fewer Spark job on
-    // the per-batch serial path. (Design history — flat 256-expression
-    // observation, then a read-back job — in the BucketStats doc.)
+    // staged files. Table reads are schema-first (explicit StructType), so
+    // the extra column is pruned for free on every later scan; its cost is
+    // ~1 dictionary-encoded byte/row once. Two designs for the per-bucket
+    // status stats were measured and REJECTED in favor of the columnar
+    // read-back below: (a) 8 x numBuckets flat conditional aggregates in
+    // an Observation — a 256-expression CollectMetrics re-analyzed +
+    // janino-recompiled every batch, ~5 s serial driver time (round 2);
+    // (b) ONE typed-Aggregator Observation riding the write — O(1)
+    // analysis, but the untyped-UDAF per-row update (row deserialize +
+    // Map probe) runs on EVERY merged row inside the write stage and the
+    // CollectMetrics node breaks whole-stage codegen around it: measured
+    // ~1.9 s/batch SLOWER than the read-back on identical 255k-row
+    // batches, and the overhead scales with batch rows (round 5, A/B in
+    // BENCH.md). The read-back is a second scan, but of 3 columns,
+    // columnar, codegen'd, fully parallel, with a fixed plan shape that
+    // hits the codegen cache across batches.
     val bucketIds = touched.toSeq.sorted
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)
-    val obs = new org.apache.spark.sql.Observation(s"graft-merge-$ledgerKey")
     // a trickle delta batch writes ONE task (one small file per touched
     // bucket dir) — no point fanning a few thousand rows over N tasks
     timed("merge-write")(merged
-      .observe(obs, BucketStats.agg(col("_bucket"), col("_status"), col("lsn"))
-        .as("bucket_stats"))
       .repartition(if (isDeltaAppend) 1 else touched.size.max(1), col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
-    // -- 7. per-bucket lineage stats from the observation (the write
-    // above already ran; get() returns without blocking)
+    // -- 7. per-bucket lineage stats from a columnar read-back of the
+    // staged output (layout indices shared with the lineage rows below:
+    // n, minLsn, maxLsn, nInsert, nUpdate, nDelete, nDeleteNoop, nStale)
+    val readbackSchema = StructType(Seq(
+      StructField("lsn", LongType), StructField("_status", StringType),
+      StructField("_bucket", IntegerType)))
     val statRows: Map[Int, Array[Long]] =
-      timed("lineage-stats")(BucketStats.decode(obs.get.getOrElse("bucket_stats", null)))
+      timed("lineage-stats")(spark.read.schema(readbackSchema).parquet(staging)
+        .groupBy(col("_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("lsn").as("minL"), max("lsn").as("maxL"),
+          sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
+          sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
+          sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
+          sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
+          sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
+        .collect()
+        .map(r => r.getInt(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+        .toMap)
 
     val outStats = bucketIds.map { b =>
       val s = statRows.get(b)
-      b -> ((s.map(_(BucketStats.N)).getOrElse(0L),
-        s.map(_(BucketStats.MinL)).getOrElse(Long.MaxValue),
-        s.map(_(BucketStats.MaxL)).getOrElse(Long.MinValue)))
+      b -> ((s.map(_(0)).getOrElse(0L),
+        s.map(_(1)).getOrElse(Long.MaxValue),
+        s.map(_(2)).getOrElse(Long.MinValue)))
     }.toMap
     val newFiles = timed("enumerate-staged")(
       table.enumerateStaged(staging, outStats, isDelta = isDeltaAppend))
@@ -478,8 +500,7 @@ object MergeInto {
     val lineage = bucketIds.map { b =>
       val (nRaw, minL, maxL) = batchStats(b)
       val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
-        case Some(a) => (a(BucketStats.NI), a(BucketStats.NU),
-          a(BucketStats.ND), a(BucketStats.NDn), a(BucketStats.NS))
+        case Some(a) => (a(3), a(4), a(5), a(6), a(7))
         case None => (0L, 0L, 0L, 0L, 0L)
       }
       // rows that carried a change = the batch's distinct keys
