@@ -519,20 +519,15 @@ object MergeInto {
 
     // lineage parquet lands BEFORE the manifest CAS, at a deterministic
     // per-batch path with overwrite: a crash on either side of the
-    // commit replays to the identical bytes (exactly-once metrics).
-    // The write runs CONCURRENTLY with manifest composition (both are
-    // serial per-batch latency — a 1-task Spark job and a handful of
-    // small FS creates — with no data dependency); the commit itself
-    // awaits it, preserving the lands-before-CAS ordering.
-    val lineageF = cfg.lineageDir.map { dir =>
-      import scala.concurrent.{ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Future {
-        import spark.implicits._
-        timed("lineage-write")(spark.createDataset(lineage).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(s"$dir/cp=$checkpointId/batch=$batchId"))
-      }
+    // commit replays to the identical content (exactly-once metrics).
+    // Written DRIVER-SIDE ([[LineageWriter]]): a handful of rows per
+    // batch doesn't justify a Spark job on the per-batch serial path —
+    // rounds 1-4 ran a 1-task job here (overlapped with manifest
+    // composition, but the job's fixed cost was the long leg).
+    cfg.lineageDir.foreach { dir =>
+      timed("lineage-write")(LineageWriter.write(
+        spark.sparkContext.hadoopConfiguration, dir, checkpointId, batchId,
+        lineage))
     }
 
     cfg.preCommitHook()
@@ -540,9 +535,7 @@ object MergeInto {
     // file and composeManifests appends the delta entries to their ranges
     timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
       if (isDeltaAppend) Set.empty else touched, newFiles,
-      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion,
-      beforeCommit = () => lineageF.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))))
+      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion))
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 
@@ -557,12 +550,7 @@ object MergeInto {
       lineage: Seq[graft.model.LineageRow],
       ledgerRetention: Int = 1024,
       snapshotId: String = UUID.randomUUID().toString,
-      versionOverride: Long = -1L,
-      /** Runs after manifest composition, immediately before the CAS —
-        * the join point for work overlapped with composition (lineage
-        * write) that must still land before the commit.
-        */
-      beforeCommit: () => Unit = () => ()): MergeResult = {
+      versionOverride: Long = -1L): MergeResult = {
     val version =
       if (versionOverride >= 0) versionOverride
       else current.map(_.version + 1).getOrElse(0L)
@@ -587,7 +575,6 @@ object MergeInto {
       ledger = ledger,
       floorBatch = floor,
       manifests = manifests)
-    beforeCommit()
     table.commit(m)
     MergeResult(snapshotId, version, lineage, skipped = false)
   }
