@@ -303,7 +303,7 @@ object MergeInto {
     if (touched.isEmpty) {
       // empty batch: still record the ledger entry (exactly-once bookkeeping)
       return commitManifest(table, current, evolved, numBuckets,
-        Set.empty, Nil, ledgerKey, Nil, cfg.ledgerRetention)
+        Set.empty, Nil, ledgerKey, ledgerRetention = cfg.ledgerRetention)
     }
     // conservative broadcast decision: raw count >= deduped count
     val rawRows = batchStats.valuesIterator.map(_._1).sum
@@ -466,68 +466,86 @@ object MergeInto {
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
-    // -- 7. per-bucket lineage stats from a columnar read-back of the
-    // staged output (layout indices shared with the lineage rows below:
-    // n, minLsn, maxLsn, nInsert, nUpdate, nDelete, nDeleteNoop, nStale)
-    val readbackSchema = StructType(Seq(
-      StructField("lsn", LongType), StructField("_status", StringType),
-      StructField("_bucket", IntegerType)))
-    val statRows: Map[Int, Array[Long]] =
-      timed("lineage-stats")(spark.read.schema(readbackSchema).parquet(staging)
-        .groupBy(col("_bucket"))
-        .agg(count(lit(1)).as("n"),
-          min("lsn").as("minL"), max("lsn").as("maxL"),
-          sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
-          sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
-          sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
-          sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
-          sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
-        .collect()
-        .map(r => r.getInt(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
-        .toMap)
-
-    val outStats = bucketIds.map { b =>
-      val s = statRows.get(b)
-      b -> ((s.map(_(0)).getOrElse(0L),
-        s.map(_(1)).getOrElse(Long.MaxValue),
-        s.map(_(2)).getOrElse(Long.MinValue)))
-    }.toMap
+    // -- 7. manifest entries for the staged files, with per-file pruning
+    // stats (rows, lsn min/max) harvested from the parquet FOOTERS —
+    // exact, driver-side, no Spark job. (Rounds 1-4 ran a read-back
+    // aggregation job here to get per-bucket stats; the footers already
+    // hold them per file, finer-grained and free.)
     val newFiles = timed("enumerate-staged")(
-      table.enumerateStaged(staging, outStats, isDelta = isDeltaAppend))
+      table.enumerateStagedWithStats(staging, isDelta = isDeltaAppend))
 
-    val snapshotId = UUID.randomUUID().toString
-    val lineage = bucketIds.map { b =>
-      val (nRaw, minL, maxL) = batchStats(b)
-      val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
-        case Some(a) => (a(3), a(4), a(5), a(6), a(7))
-        case None => (0L, 0L, 0L, 0L, 0L)
+    // -- 8. per-bucket STATUS counts (insert/update/delete/noop/stale)
+    // for the lineage metrics — the one thing footers cannot provide.
+    // The read-back job runs ASYNC so it overlaps manifest composition
+    // (both are per-batch latency with no data dependency) and joins
+    // before the CAS via the finishLineage thunk below. Layout: columnar
+    // scan of 2 columns of the just-written output, fixed plan shape
+    // (codegen-cache-friendly across batches). Two riding-the-write
+    // designs were measured and REJECTED in favor of it — (a) 8 x
+    // numBuckets flat conditional aggregates in an Observation: a
+    // 256-expression CollectMetrics re-analyzed + janino-recompiled
+    // every batch, ~5 s serial driver time (round 2); (b) ONE
+    // typed-Aggregator Observation: O(1) analysis, but the untyped-UDAF
+    // per-row update runs on EVERY merged row inside the write stage and
+    // CollectMetrics breaks whole-stage codegen around it — ~1.9 s/batch
+    // SLOWER than the read-back on identical 255k-row batches (round 5,
+    // A/B in BENCH.md).
+    val readbackSchema = StructType(Seq(
+      StructField("_status", StringType), StructField("_bucket", IntegerType)))
+    val statF = {
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Future {
+        spark.read.schema(readbackSchema).parquet(staging)
+          .groupBy(col("_bucket"))
+          .agg(
+            sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
+            sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
+            sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
+            sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
+            sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
+          .collect()
+          .map(r => r.getInt(0) -> Array(r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
       }
-      // rows that carried a change = the batch's distinct keys
-      val nKeys = nI + nU + nD + nDn + nS
-      graft.model.LineageRow(
-        batch_id = batchId,
-        partition = b,
-        min_lsn = minL,
-        max_lsn = maxL,
-        n_insert = nI,
-        n_update = nU,
-        n_delete = nD + nDn,
-        n_dedup_dropped = nRaw - nKeys,
-        snapshot_id = snapshotId)
     }
 
-    // lineage parquet lands BEFORE the manifest CAS, at a deterministic
-    // per-batch path with overwrite: a crash on either side of the
-    // commit replays to the identical content (exactly-once metrics).
-    // Written DRIVER-SIDE ([[LineageWriter]]): a handful of rows per
-    // batch doesn't justify a Spark job on the per-batch serial path —
-    // rounds 1-4 ran a 1-task job here (overlapped with manifest
-    // composition, but the job's fixed cost was the long leg).
-    cfg.lineageDir.foreach { dir =>
-      timed("lineage-write")(LineageWriter.write(
-        spark.sparkContext.hadoopConfiguration, dir, checkpointId, batchId,
-        lineage))
+    val snapshotId = UUID.randomUUID().toString
+    // Runs after manifest composition, immediately before the CAS: await
+    // the status read-back, build the lineage rows, land the lineage
+    // parquet (deterministic path + overwrite => exactly-once metrics; a
+    // crash on either side of the commit replays to identical content).
+    def finishLineage(): Seq[graft.model.LineageRow] = {
+      val statRows = timed("lineage-stats")(scala.concurrent.Await.result(
+        statF, scala.concurrent.duration.Duration.Inf))
+      val lineage = bucketIds.map { b =>
+        val (nRaw, minL, maxL) = batchStats(b)
+        val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
+          case Some(a) => (a(0), a(1), a(2), a(3), a(4))
+          case None => (0L, 0L, 0L, 0L, 0L)
+        }
+        // rows that carried a change = the batch's distinct keys
+        val nKeys = nI + nU + nD + nDn + nS
+        graft.model.LineageRow(
+          batch_id = batchId,
+          partition = b,
+          min_lsn = minL,
+          max_lsn = maxL,
+          n_insert = nI,
+          n_update = nU,
+          n_delete = nD + nDn,
+          n_dedup_dropped = nRaw - nKeys,
+          snapshot_id = snapshotId)
+      }
+      // driver-side parquet write ([[LineageWriter]]): a handful of rows
+      // per batch doesn't justify a Spark job on the per-batch serial path
+      cfg.lineageDir.foreach { dir =>
+        timed("lineage-write")(LineageWriter.write(
+          spark.sparkContext.hadoopConfiguration, dir, checkpointId, batchId,
+          lineage))
+      }
+      lineage
     }
 
     cfg.preCommitHook()
@@ -535,7 +553,7 @@ object MergeInto {
     // file and composeManifests appends the delta entries to their ranges
     timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
       if (isDeltaAppend) Set.empty else touched, newFiles,
-      ledgerKey, lineage, cfg.ledgerRetention, snapshotId, nextVersion))
+      ledgerKey, finishLineage, cfg.ledgerRetention, snapshotId, nextVersion))
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 
@@ -547,7 +565,12 @@ object MergeInto {
       touched: Set[Int],
       newFiles: Seq[FileEntry],
       ledgerKey: String,
-      lineage: Seq[graft.model.LineageRow],
+      /** Finalizes the batch's lineage (awaits the async status read-back
+        * and lands the lineage parquet). Called AFTER manifest composition
+        * and immediately BEFORE the CAS — the join point for work
+        * overlapped with composition that must still precede the commit.
+        */
+      finishLineage: () => Seq[graft.model.LineageRow] = () => Nil,
       ledgerRetention: Int = 1024,
       snapshotId: String = UUID.randomUUID().toString,
       versionOverride: Long = -1L): MergeResult = {
@@ -575,6 +598,7 @@ object MergeInto {
       ledger = ledger,
       floorBatch = floor,
       manifests = manifests)
+    val lineage = finishLineage()
     table.commit(m)
     MergeResult(snapshotId, version, lineage, skipped = false)
   }

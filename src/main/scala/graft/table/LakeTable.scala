@@ -424,6 +424,62 @@ final class LakeTable private (val root: String, val conf: Configuration) {
       }
   }
 
+  /** Enumerate staged files with EXACT per-file (rows, lsn min/max) read
+    * from the parquet FOOTERS — driver-side, parallel, no Spark job. The
+    * footer statistics are what the write itself recorded; harvesting
+    * them costs one small ranged read per file instead of a cluster pass
+    * over the staged data (the read-back job this replaces was a fixed
+    * per-commit cost on the serial path — the Amdahl term the scaling
+    * north rule keeps paying). A footer that lacks `lsn` statistics for a
+    * non-empty file (foreign writer) gets UNPRUNABLE bounds
+    * (Long.MinValue/Long.MaxValue) — never the empty-file sentinel, which
+    * would let LSN pruning skip live data.
+    */
+  def enumerateStagedWithStats(dir: String,
+      isDelta: Boolean = false): Seq[FileEntry] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val listed = enumerateStaged(dir, Map.empty, isDelta)
+    Await.result(
+      Future.sequence(listed.map { e =>
+        Future {
+          val (rows, minL, maxL) = footerStats(new Path(e.path))
+          e.copy(rows = rows, minLsn = minL, maxLsn = maxL)
+        }
+      }), Duration.Inf)
+  }
+
+  /** (rows, min lsn, max lsn) of one parquet file from its footer. */
+  private def footerStats(p: Path): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0L) return (0L, Long.MaxValue, Long.MinValue)
+      var minL = Long.MaxValue
+      var maxL = Long.MinValue
+      var sawStats = true
+      blocks.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "lsn") match {
+          case Some(c) if c.getStatistics != null &&
+              !c.getStatistics.isEmpty && c.getStatistics.hasNonNullValue =>
+            (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                if (lo < minL) minL = lo
+                if (hi > maxL) maxL = hi
+              case _ => sawStats = false
+            }
+          case _ => sawStats = false
+        }
+      }
+      if (sawStats) (rows, minL, maxL)
+      else (rows, Long.MinValue, Long.MaxValue)
+    } finally r.close()
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Read the current table state (live rows only — delete tombstones are

@@ -73,21 +73,10 @@ object Maintenance {
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
 
-    val staged = table.enumerateStaged(staging, Map.empty)
-    val outStats =
-      if (staged.isEmpty) Map.empty[Int, (Long, Long, Long)]
-      else spark.read.schema(stored).parquet(staged.map(_.path): _*)
-        .withColumn("_bucket",
-          pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
-        .groupBy("_bucket")
-        .agg(count(lit(1)).as("n"), min("lsn").as("minL"), max("lsn").as("maxL"))
-        .collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
-    val newFiles = staged.map { f =>
-      val (n, minL, maxL) = outStats.getOrElse(f.bucket, (0L, Long.MaxValue, Long.MinValue))
-      f.copy(rows = n, minLsn = minL, maxLsn = maxL)
-    }
+    // per-file pruning stats straight from the parquet footers — exact,
+    // driver-side; replaces a second full read of the compacted output
+    // (O(compacted data) per maintenance cycle, purely for stats)
+    val newFiles = table.enumerateStagedWithStats(staging)
 
     val snapshotId = UUID.randomUUID().toString
     val manifests =
