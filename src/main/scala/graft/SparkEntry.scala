@@ -266,6 +266,32 @@ object SparkEntry {
       } finally changes.unpersist()
     }),
 
+    // Online bucket-count scaling in the correctness gate: half the feed
+    // merged at 4 buckets, a shuffle-free rebucket 4 -> 16 mid-replay
+    // (each old bucket splits locally into 4 — no exchange), then the
+    // rest of the feed merged under the NEW count (the kernel reads it
+    // from the manifest, ignoring the stale config value) — the final
+    // state must equal the plain-replay oracle.
+    "cdc_rebucket" -> ((s, dir) => {
+      val table = LakeTable(scratchDir("graft-cdc-rb", dir))
+      val changes = cdcChanges(s, dir).persist()
+      try {
+        (0L until 2L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "rb", b, MergeConfig(numBuckets = 4))
+        }
+        graft.table.Maintenance.rebucket(s, table, 16)
+        (2L until 4L).foreach { b =>
+          MergeInto.apply(s, table, changes.filter(col("lsn") % 4 === b),
+            "rb", b, MergeConfig(numBuckets = 4))
+        }
+        table.read(s)
+          .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+            col("n_tok"), col("source"), col("lsn"))
+          .orderBy("doc_id")
+      } finally changes.unpersist()
+    }),
+
     // Time travel: state as of the snapshot after the SECOND micro-batch
     // (only events with lsn % 4 in {0,1} applied), read from the retained
     // older manifest while the table is at version 3.
@@ -1022,6 +1048,16 @@ object SparkEntry {
          |FROM counted ORDER BY doc_id""".stripMargin,
 
     "cdc_compaction" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM changes)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
+
+    "cdc_rebucket" ->
       s"""WITH changes AS ($cdcChangesSql),
          |latest AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn

@@ -81,7 +81,18 @@ final case class StreamConfig(
     tombstoneSlackLsn: Long = Long.MaxValue,
     cleanSource: Option[String] = None,
     sourceArchiveDir: Option[String] = None,
-    maxFileAge: Option[String] = None)
+    maxFileAge: Option[String] = None,
+    /** Online bucket-count scaling (0 = off): at each maintenance cycle,
+      * if the table's stored rows per bucket exceed this, DOUBLE the
+      * bucket count ([[Maintenance.rebucket]] — a shuffle-free split of
+      * each bucket into two) before compacting, up to `maxNumBuckets`.
+      * This closes the fixed-at-creation bucket-count trap for a table
+      * that grows 1000x under a long-running tail: rewrite amplification
+      * per batch stays O(table/numBuckets) instead of degrading linearly
+      * with table growth.
+      */
+    rebucketAtRows: Long = 0L,
+    maxNumBuckets: Int = 1 << 14)
 
 /** Structured Streaming driver: tail the change feed, apply each
   * micro-batch through the MERGE kernel, commit exactly-once.
@@ -160,6 +171,19 @@ object CdcStream {
     */
   private def maintain(spark: SparkSession, table: LakeTable,
       cfg: StreamConfig, maxAppliedLsn: Long): Unit = {
+    // growth check first: a rebucket rewrites (and implicitly compacts)
+    // everything, so the fragmentation pass below can skip that cycle
+    if (cfg.rebucketAtRows > 0) {
+      val m = table.currentManifest()
+      val rows = m.manifests.map(_.rows).sum.max(m.files.map(_.rows).sum)
+      if (m.numBuckets * 2 <= cfg.maxNumBuckets &&
+          rows / m.numBuckets.max(1) > cfg.rebucketAtRows) {
+        Maintenance.rebucket(spark, table, m.numBuckets * 2): Unit
+        val horizon = table.currentVersion() - cfg.retainSnapshots.max(1)
+        if (horizon > 0) Maintenance.expireSnapshots(table, horizon): Unit
+        return
+      }
+    }
     val frag = Maintenance.mostFragmented(table, cfg.maintenanceBuckets)
     if (frag.nonEmpty) {
       val wm =

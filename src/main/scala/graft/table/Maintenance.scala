@@ -100,6 +100,70 @@ object Maintenance {
       manifests.map(_.nFiles).sum, tombstoneWatermark > Long.MinValue)
   }
 
+  /** Scale the table's bucket count in place: rewrite the data files under
+    * `newNumBuckets` key partitions and commit a snapshot carrying the new
+    * count. The MERGE kernel reads `numBuckets` from the manifest (not its
+    * config), so every subsequent batch buckets by the new scheme with no
+    * caller change.
+    *
+    * A fixed-at-creation bucket count is the classic lake-table scale
+    * trap: a table created at 32 buckets has ~3 TB buckets at 100 TB, and
+    * every touched-bucket rewrite, compaction cycle, and skew event is a
+    * multi-TB job. Growing the count must therefore be an ONLINE
+    * operation, and restricting it to integer multiples (`newNumBuckets =
+    * k * numBuckets`) makes the rewrite SHUFFLE-FREE: `pmod(h, kN) mod N
+    * == pmod(h, N)`, so all rows of old bucket `b` land in the k new
+    * buckets `{b, b+N, ..., b+(k-1)N}` — each scan task splits its rows
+    * locally into at most k output files and the plan needs NO exchange
+    * (the write below deliberately has no repartition; RebucketSpec
+    * asserts the plan is exchange-free on a delta-free table). On a
+    * 1000-executor cluster the rewrite is embarrassingly parallel and
+    * bounded by scan+write bandwidth, never by shuffle.
+    *
+    * Merge-on-read deltas fold into the rewrite (`scanResolved`);
+    * tombstones are KEPT — rebucketing must not weaken out-of-order
+    * fencing — and the idempotence ledger + floor carry over unchanged,
+    * so a replayed batch is still recognized after the rescale.
+    */
+  def rebucket(spark: SparkSession, table: LakeTable,
+      newNumBuckets: Int): CompactionResult = {
+    val m = table.currentManifest()
+    require(newNumBuckets > m.numBuckets,
+      s"rebucket only grows the bucket count (${m.numBuckets} -> $newNumBuckets)")
+    require(newNumBuckets % m.numBuckets == 0,
+      s"newNumBuckets must be an integer multiple of ${m.numBuckets} " +
+        s"(got $newNumBuckets) — multiples keep the rewrite shuffle-free")
+    val stored = LakeTable.storedSchema(m.schema)
+    val nextVersion = m.version + 1
+    val staging = table.stagingDir(nextVersion)
+    val files = table.filesOf(m)
+    val filesBefore = files.size
+    if (files.nonEmpty) {
+      table.scanResolved(spark, stored, files)
+        .withColumn("_bucket",
+          pmod(xxhash64(col("doc_id")), lit(newNumBuckets.toLong)).cast("int"))
+        .sortWithinPartitions(col("_bucket"), col("doc_id"))
+        .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
+    }
+    val newFiles = table.enumerateStagedWithStats(staging)
+    val snapshotId = UUID.randomUUID().toString
+    // every range is rewritten (bucket ids — and the range layout itself —
+    // change), so compose from scratch under the new count
+    val manifests = table.composeManifests(None, Set.empty, newFiles, newNumBuckets)
+    table.commit(Manifest(
+      version = nextVersion,
+      snapshotId = snapshotId,
+      parentSnapshotId = Some(m.snapshotId),
+      schemaJson = m.schemaJson,
+      numBuckets = newNumBuckets,
+      files = Nil,
+      ledger = m.ledger,
+      floorBatch = m.floorBatch,
+      manifests = manifests))
+    CompactionResult(snapshotId, nextVersion, filesBefore,
+      manifests.map(_.nFiles).sum, tombstonesDropped = false)
+  }
+
   /** The `n` buckets that most need compaction: highest file count first
     * (ties broken by bucket id for determinism), only buckets with more
     * than one file. Driver-side over the manifest's file list — O(files)
