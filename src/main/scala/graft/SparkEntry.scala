@@ -210,6 +210,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The SAME final state through the HTTP INGRESS EDGE: the feed POSTed
+    // as JSON lines to a live HttpFeedServer (the reference flow's
+    // HandleHttpRequest/Response shape) in 4 chunks, each force-flushed to
+    // an LSN-ordered feed segment, then tailed by CdcStream exactly like a
+    // file drop — receiver, admission, MERGE kernel, and ledger all under
+    // the one batch oracle. The driver-side collect emulates the EXTERNAL
+    // HTTP producer (inherently outside the engine) and is bounded by the
+    // sf feed size; batching differs from cdc_final_state's lsn%4
+    // interleave, which the LWW merge must not care about.
+    "cdc_http_final" -> ((s, dir) => {
+      val root = scratchDir("graft-cdc-http", dir)
+      val changes = cdcChanges(s, dir)
+      val lines = changes.orderBy("lsn").toJSON.collect()
+      val srv = graft.sources.HttpFeedServer.start(
+        s, s"$root/feed", changes.schema, flushEvery = Int.MaxValue)
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, body: String): Unit = {
+          val resp = client.send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:${srv.port}$path"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() / 100 == 2,
+            s"http ingress $path -> ${resp.statusCode()}: ${resp.body()}")
+        }
+        val chunk = (lines.length + 3) / 4
+        lines.grouped(chunk.max(1)).foreach { part =>
+          post("/events", part.mkString("\n"))
+          post("/flush", "")
+        }
+      } finally srv.stop()
+      graft.stream.CdcStream.runToCompletion(s, graft.stream.StreamConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp", checkpointId = "http-verify",
+        maxFilesPerTrigger = 1, merge = MergeConfig(numBuckets = 8)))
+        .select(col("doc_id"), stringifyIntArray(col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"), col("lsn"))
+        .orderBy("doc_id")
+    }),
+
     // The dedupe-by-(doc_id, lsn) window operator on its own (north-rule
     // shape: row_number over lsn desc), salted two-stage path exercised.
     "cdc_dedupe_lww" -> ((s, dir) => {
@@ -1004,6 +1045,16 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "cdc_stream_final" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+         |  FROM changes)
+         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+         |       n_tok, source, lsn
+         |FROM latest WHERE rn = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
+
+    "cdc_http_final" ->
       s"""WITH changes AS ($cdcChangesSql),
          |latest AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
