@@ -116,7 +116,11 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val line = src.getLines().next()
+        // a restricted/old procfs can expose fewer than 8 jiffy fields;
+        // a short array would AIOOBE in hostFractions OUTSIDE this catch
+        // and abort the whole bench for a missing health stamp
         Some(line.trim.split("\\s+").drop(1).take(8).map(_.toLong))
+          .filter(_.length == 8)
       } finally src.close()
     } catch { case _: Exception => None }
 

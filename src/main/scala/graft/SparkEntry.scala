@@ -51,6 +51,23 @@ object SparkEntry {
       |       event_type AS source
       |FROM events""".stripMargin
 
+  /** The CDC LWW final-state oracle — ONE definition for every query
+    * whose result must equal "replay the whole feed, keep the max-LSN
+    * winner per key, drop deletes" regardless of path (batch rewrite,
+    * trickle delta, streaming tail, HTTP ingress, compaction, rebucket):
+    * a future change to the LWW tie-break semantics lands in one place
+    * instead of silently weakening one of six gates.
+    */
+  private lazy val cdcLwwFinalSql: String =
+    s"""WITH changes AS ($cdcChangesSql),
+       |latest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+       |  FROM changes)
+       |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
+       |       n_tok, source, lsn
+       |FROM latest WHERE rn = 1 AND op <> 'D'
+       |ORDER BY doc_id""".stripMargin
+
   /** Normalized word list (identical Spark/DuckDB expression pair). */
   private def wordsSqlOf(textExpr: String) =
     s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
@@ -1025,44 +1042,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "cdc_final_state" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_trickle_delta" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_stream_final" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_http_final" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_dedupe_lww" ->
       s"""WITH changes AS ($cdcChangesSql),
@@ -1099,24 +1088,10 @@ object SparkEntry {
          |FROM counted ORDER BY doc_id""".stripMargin,
 
     "cdc_compaction" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_rebucket" ->
-      s"""WITH changes AS ($cdcChangesSql),
-         |latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
-         |  FROM changes)
-         |SELECT doc_id, ${stringifyIntArraySql("tokens")} AS tokens_csv,
-         |       n_tok, source, lsn
-         |FROM latest WHERE rn = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+      cdcLwwFinalSql,
 
     "cdc_time_travel" ->
       s"""WITH changes AS ($cdcChangesSql),

@@ -551,9 +551,21 @@ object MergeInto {
     cfg.preCommitHook()
     // delta append REMOVES nothing: touched = empty keeps every parent
     // file and composeManifests appends the delta entries to their ranges
-    timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
-      if (isDeltaAppend) Set.empty else touched, newFiles,
-      ledgerKey, finishLineage, cfg.ledgerRetention, snapshotId, nextVersion))
+    try
+      timed("manifest-commit")(commitManifest(table, current, evolved, numBuckets,
+        if (isDeltaAppend) Set.empty else touched, newFiles,
+        ledgerKey, finishLineage, cfg.ledgerRetention, snapshotId, nextVersion))
+    catch {
+      case commitFailure: Throwable =>
+        // the commit path can throw BEFORE finishLineage joins the async
+        // status read-back (e.g. a manifest-compose error or a lost CAS):
+        // drain the future here so no unobserved Spark job outlives the
+        // batch with its own failure silently discarded
+        try scala.concurrent.Await.ready(
+          statF, scala.concurrent.duration.Duration(60, "s")): Unit
+        catch { case _: Throwable => () }
+        throw commitFailure
+    }
     } finally cachedBatch.foreach(_.unpersist(false))
   }
 

@@ -3,7 +3,7 @@ package graft.sources
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
@@ -45,10 +45,15 @@ final class HttpFeedServer private (
 
   private val buf = mutable.ArrayBuffer.empty[String]
   private var nextSeg: Long = {
-    // resume numbering after existing segments (receiver restarts append)
-    val d = new java.io.File(feedDir)
-    Option(d.listFiles).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("seg="))
+    // resume numbering after existing segments (receiver restarts append).
+    // Through the Hadoop FS, not java.io.File: segments are written via
+    // Spark's FS, and a receiver whose feedDir is remote (hdfs://, s3a://)
+    // must not silently restart at seg=0 and overwrite existing data.
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toIndexedSeq
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
       .flatMap(n => n.stripPrefix("seg=").toLongOption)
       .maxOption.map(_ + 1).getOrElse(0L)
   }
@@ -57,22 +62,47 @@ final class HttpFeedServer private (
 
   /** Flush buffered events as the next feed segment; returns (seg, rows)
     * or (-1, 0) when the buffer is empty. Synchronized with ingestion so
-    * a segment is a consistent prefix of what was posted.
+    * a segment is a consistent prefix of what was posted. The buffer is
+    * cleared only AFTER the segment write succeeds: events acknowledged
+    * with 202 must survive a failed flush (disk full, transient FS error)
+    * and go out with the next one — a throwing flush loses nothing.
+    *
+    * Lines that do not parse into a feed event with a non-null (lsn,
+    * doc_id) are diverted to `feedDir/_rejects/seg=N` instead of the
+    * segment (the dead-letter posture of the CSV source): the stream only
+    * tails `seg=*` dirs, so accepted garbage can neither crash the tail
+    * nor merge as a null-keyed live row.
     */
   def flush(): (Long, Long) = synchronized {
     if (buf.isEmpty) return (-1L, 0L)
     val lines = buf.toIndexedSeq
-    buf.clear()
     val seg = nextSeg
-    nextSeg += 1
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(lines)
-    val df = spark.read.schema(schema).json(ds)
-    val n = lines.length.toLong
-    df.orderBy(col("lsn"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$feedDir/seg=$seg")
-    (seg, n)
+    val withCorrupt = StructType(schema.fields.toIndexedSeq :+
+      StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    val df = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(ds)
+      .cache()
+    try {
+      val badPred = col("_corrupt_record").isNotNull ||
+        col("lsn").isNull || col("doc_id").isNull
+      val bad = df.filter(badPred)
+      val nBad = bad.count()
+      if (nBad > 0)
+        bad.coalesce(1).write.mode("overwrite")
+          .json(s"$feedDir/_rejects/seg=$seg")
+      val good = df.filter(!badPred).drop("_corrupt_record")
+      good.orderBy(col("lsn"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/seg=$seg")
+      // only now is the segment durable: advance + drop the buffer
+      nextSeg += 1
+      buf.clear()
+      (seg, lines.length.toLong - nBad)
+    } finally df.unpersist(false): Unit
   }
 
   private def ingest(body: String): Int = {
@@ -86,13 +116,30 @@ final class HttpFeedServer private (
   }
 
   private def handler: HttpHandler = (ex: HttpExchange) => {
+    // headers can be sent at most once per exchange: a failure AFTER the
+    // happy-path respond must not try to respond again (sendResponseHeaders
+    // would throw out of the handler and the client would see a reset)
+    var responded = false
     def respond(code: Int, body: String): Unit = {
+      responded = true
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
+    // exception messages carry quotes/newlines (Spark analysis errors
+    // routinely do) — escape them or the error body is invalid JSON
+    def jsonStr(s: String): String =
+      "\"" + Option(s).getOrElse("").flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     try {
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("POST", "/events") =>
@@ -106,7 +153,8 @@ final class HttpFeedServer private (
         case _ => respond(404, """{"error":"not found"}""")
       }
     } catch {
-      case e: Exception => respond(500, s"""{"error":"${e.getMessage}"}""")
+      case e: Exception if !responded =>
+        respond(500, s"""{"error":${jsonStr(e.getMessage)}}""")
     }
   }
 

@@ -90,6 +90,15 @@ final case class StreamConfig(
       * that grows 1000x under a long-running tail: rewrite amplification
       * per batch stays O(table/numBuckets) instead of degrading linearly
       * with table growth.
+      *
+      * The row count is STORED rows (manifest stats): tombstones and
+      * not-yet-folded delta duplicates count toward the threshold. That
+      * is deliberate — stored rows are what a bucket rewrite actually
+      * moves — but it means a delete/churn-heavy table should run this
+      * together with a finite `tombstoneSlackLsn` (tombstone GC) and the
+      * fragmentation compaction (both part of the same maintenance
+      * cycle), which keep stored ~ live; `maxNumBuckets` caps the worst
+      * case regardless.
       */
     rebucketAtRows: Long = 0L,
     maxNumBuckets: Int = 1 << 14)

@@ -244,9 +244,13 @@ object Maintenance {
       catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
     val liveRefs = refsOf(retainFrom to current)
-    val deadRefs = refsOf(0L until retainFrom) -- liveRefs
+    val belowHorizon = refsOf(0L until retainFrom)
+    val deadRefs = belowHorizon -- liveRefs
     val metaDir = new Path(root, "meta")
-    val allRefs = liveRefs ++ refsOf(0L until retainFrom)
+    // referenced-anywhere set for the orphan sweep — reuse the two read
+    // passes above (re-reading the expired heads would double the
+    // O(expired-history) metadata I/O of every vacuum)
+    val allRefs = liveRefs ++ belowHorizon
     val now = System.currentTimeMillis()
     val agedOrphans: Set[String] =
       if (orphanManifestAgeMs == Long.MaxValue || !fs.exists(metaDir)) Set.empty

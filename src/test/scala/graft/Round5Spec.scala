@@ -310,6 +310,34 @@ class HttpFeedSpec extends SparkSpec {
       assert(srv2.flush()._1 === 2L)
     } finally srv2.stop()
   }
+
+  test("garbage lines divert to _rejects and never reach the feed segment") {
+    val work = tmpDir("http-rejects")
+    val srv = graft.sources.HttpFeedServer.start(
+      spark, s"$work/feed", feedSchema, flushEvery = Int.MaxValue)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // 2 valid events + raw garbage + a JSON object missing the key:
+      // everything is 202-accepted (ingress contract), but only the valid
+      // rows may land in the segment the stream tails
+      post("/events", Seq(
+        ev(1, "a", Ops.Insert, Seq(1)),
+        "this is not json",
+        """{"lsn":9,"op":"U","tokens":[1],"n_tok":1,"source":"http"}""", // null doc_id
+        ev(2, "b", Ops.Insert, Seq(2))).mkString("\n")): Unit
+      val r = post("/flush", "")
+      assert(r.statusCode() === 200 && r.body().contains("\"rows\":2"), r.body())
+    } finally srv.stop()
+    val seg = spark.read.schema(feedSchema).parquet(s"$work/feed/seg=0")
+    assert(seg.count() === 2)
+    assert(seg.filter(col("doc_id").isNull || col("lsn").isNull).count() === 0)
+    val rejects = spark.read.json(s"$work/feed/_rejects/seg=0")
+    assert(rejects.count() === 2)
+  }
 }
 
 /** resolveLatest file-version tie-break must anchor to the LAST /s<v>/
