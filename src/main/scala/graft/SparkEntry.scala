@@ -68,6 +68,27 @@ object SparkEntry {
        |FROM latest WHERE rn = 1 AND op <> 'D'
        |ORDER BY doc_id""".stripMargin
 
+  /** Exhaustive 3-gram Jaccard pairs at threshold 0.2 — the oracle for
+    * `dedup_ngram_jaccard` (the exact operator) AND for
+    * `dedup_minhash_verified` (LSH candidates + exact verify, which must
+    * reproduce the exhaustive answer when banding loses no pair).
+    */
+  private lazy val ngramJaccardSql: String = {
+    val ws = wordsSqlOf("text")
+    s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                        for i in range(1, len(ws) - 1)]) AS shs
+       |       FROM w WHERE len(ws) >= 3),
+       |e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM sh)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+       |FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       |HAVING round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Normalized word list (identical Spark/DuckDB expression pair). */
   private def wordsSqlOf(textExpr: String) =
     s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
@@ -785,6 +806,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // NOTE a "minhash candidates + exact verify == exhaustive pairs"
+    // oracle was built and REJECTED here: it passed at sf0.001/sf0.01 but
+    // at sf0.1 the banding (k=16, bands=4) missed 2 of 256 j>=0.2 pairs —
+    // at j=0.8889 and j=0.8, i.e. within the 1-(1-j^4)^4 per-pair miss
+    // expectation (~12% at j=0.8). Minhash recall is probabilistic by
+    // construction, so exhaustive equality is not a sound oracle at any
+    // banding; the candidates-superset property stays sbt-gated on its
+    // corpus and the measured sf0.1 recall (254/256) is recorded in
+    // COVERAGE.md.
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 8)
         .orderBy("id_a", "id_b")
@@ -818,6 +849,19 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
       Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, planes = 6, probes = 2)
+        .select("query_id", "nbr_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH in its exhaustive degeneracy, driver-gated: with ONE hyperplane
+    // and 2 probes the probe list {b, b^1} covers both possible buckets,
+    // so every corpus row is a candidate and the exact re-rank equals
+    // brute force EXACTLY — the brute-force DuckDB SQL gates the whole
+    // bucket/probe/join/re-rank machinery (the ann_ivf_exhaustive trick,
+    // applied to the hyperplane path).
+    "ann_lsh_exhaustive" -> ((s, dir) => {
+      val e = s.read.parquet(t(dir, "embeddings"))
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, planes = 1, probes = 2)
         .select("query_id", "nbr_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -1414,21 +1458,7 @@ object SparkEntry {
         |SELECT fp, keep_id, n_members, n_members - 1 AS n_dups
         |FROM g ORDER BY fp""".stripMargin,
 
-    "dedup_ngram_jaccard" -> {
-      val ws = wordsSqlOf("text")
-      s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
-         |sh AS (SELECT doc_id,
-         |         list_distinct([array_to_string(ws[i:i+2], ' ')
-         |                        for i in range(1, len(ws) - 1)]) AS shs
-         |       FROM w WHERE len(ws) >= 3),
-         |e AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS s FROM sh)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
-         |FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-         |HAVING round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
 
     "dedup_clusters" -> {
       val ws = wordsSqlOf("text")
@@ -1517,6 +1547,8 @@ object SparkEntry {
     // exact-equality oracle for the exhaustive-degenerate IVF case:
     // nprobe = nlist probes every list, so the result IS brute force
     "ann_ivf_exhaustive" -> bruteForceAnnSql,
+    // 1 hyperplane + 2 probes covers both buckets -> exhaustive (see query)
+    "ann_lsh_exhaustive" -> bruteForceAnnSql,
 
     "archive_explode" ->
       """SELECT doc_id % 10 AS zip_id,
