@@ -99,7 +99,10 @@ object Replay {
     if (m.version > 0)
       println(s"[replay] time travel: v0 had ${table.readVersion(spark, 0).count()} " +
         s"surviving rows vs v${m.version} now")
-    println(s"[replay] feed rows applied: $applied")
+    // only the batch path counts raw rows driver-side; the stream path's
+    // per-batch lines above carry the applied counts (printing the
+    // never-incremented counter there read as "applied: 0")
+    if (mode != "stream") println(s"[replay] feed rows applied: $applied")
     println(s"[replay] final snapshot: ${m.snapshotId} (version ${m.version}, " +
       s"${table.filesOf(m).size} files, ${m.ledger.size} ledger entries)")
     println(s"[replay] surviving rows: ${finalState.count()}")
