@@ -90,10 +90,7 @@ object Bench {
 
   private def log(msg: String): Unit = System.err.println(s"[bench] $msg")
 
-  private def rmr(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmr))
-    f.delete(): Unit
-  }
+  private def rmr(f: java.io.File): Unit = graft.util.IoUtil.deleteRecursively(f)
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

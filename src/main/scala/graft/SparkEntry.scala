@@ -102,10 +102,8 @@ object SparkEntry {
   private val stringifyIntArraySql: String => String = e =>
     s"array_to_string(list_transform($e, x -> coalesce(CAST(x AS VARCHAR), '')), ',')"
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.IoUtil.deleteRecursively(f)
 
   /** Scratch root for queries that materialize a LakeTable: tmpfs when
     * available (a CDC query's table I/O should measure the engine, not
@@ -512,6 +510,11 @@ object SparkEntry {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       val routed = graft.sources.CsvSource.readRouted(s, root, schema, header = false)
+      // single consumer (only the good route, evaluated once): the shared
+      // parse cache buys nothing here and leaks a cache entry per query
+      // run (RoutedCsv's own doc) — release now; the returned plan simply
+      // recomputes from source at evaluation
+      routed.release()
       routed.good
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -848,7 +851,7 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, dir) => {
       val e = s.read.parquet(t(dir, "embeddings"))
-      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, planes = 6, probes = 2)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, planes = 6, probes = 7)
         .select("query_id", "nbr_id", "sim", "rank")
         .orderBy("query_id", "rank")
     }),

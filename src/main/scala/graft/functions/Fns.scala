@@ -182,15 +182,20 @@ object Fns {
     * tokenization primitive. Deterministic; the key ships in the closure
     * (in production it would come from a secret store on the executor).
     */
-  def hmacSha256(key: String): Column => Column = {
-    val u = udf { (s: String) =>
-      if (s == null) null
-      else {
-        val mac = Mac.getInstance("HmacSHA256")
-        mac.init(new SecretKeySpec(key.getBytes("UTF-8"), "HmacSHA256"))
-        java.util.Base64.getEncoder.encodeToString(mac.doFinal(s.getBytes("UTF-8")))
-      }
+  /** Shared HMAC kernel — the ONE definition both the Column API and the
+    * SQL registration (`graft_hmac_sha256`, Registry) wrap, so the two
+    * surfaces cannot drift.
+    */
+  private[functions] def hmacSha256Raw(key: String, s: String): String =
+    if (s == null) null
+    else {
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(key.getBytes("UTF-8"), "HmacSHA256"))
+      java.util.Base64.getEncoder.encodeToString(mac.doFinal(s.getBytes("UTF-8")))
     }
+
+  def hmacSha256(key: String): Column => Column = {
+    val u = udf { (s: String) => hmacSha256Raw(key, s) }
     c => u(c)
   }
 
@@ -308,17 +313,22 @@ object Fns {
     * text — the streaming-friendly fingerprint variant (deterministic
     * Scala; arithmetic too stateful for built-ins).
     */
-  val rollingHash: Column => Column = {
-    val u = udf { (s: String) =>
-      if (s == null) 0L
-      else {
-        var h = 1125899906842597L
-        var i = 0
-        val n = s.length
-        while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
-        h
-      }
+  /** Shared rolling-hash kernel over ALREADY-NORMALIZED text (see
+    * [[rollingHash]] for the normalization) — one definition for the
+    * Column API and the SQL registration, so the surfaces cannot drift.
+    */
+  private[functions] def rollingHashRaw(s: String): Long =
+    if (s == null) 0L
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      val n = s.length
+      while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
+      h
     }
+
+  val rollingHash: Column => Column = {
+    val u = udf { (s: String) => rollingHashRaw(s) }
     c => u(lower(regexp_replace(trim(c), "\\s+", " ")))
   }
 

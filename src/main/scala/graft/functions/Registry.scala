@@ -29,26 +29,16 @@ object Registry {
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
 
+    // both wrap the Fns kernels so SQL and Column surfaces cannot drift
+    // (they HAD drifted: the SQL rolling hash skipped the normalization
+    // the Column API applies, giving different fingerprints for the same
+    // input through the two surfaces)
     spark.udf.register("graft_hmac_sha256",
-      (key: String, s: String) => {
-        if (s == null) null
-        else {
-          val mac = javax.crypto.Mac.getInstance("HmacSHA256")
-          mac.init(new javax.crypto.spec.SecretKeySpec(
-            key.getBytes("UTF-8"), "HmacSHA256"))
-          java.util.Base64.getEncoder.encodeToString(
-            mac.doFinal(s.getBytes("UTF-8")))
-        }
-      })
+      (key: String, s: String) => Fns.hmacSha256Raw(key, s))
 
-    spark.udf.register("graft_rolling_hash", (s: String) => {
-      if (s == null) 0L
-      else {
-        var h = 1125899906842597L
-        var i = 0
-        while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
-        h
-      }
-    })
+    spark.udf.register("graft_rolling_hash", (s: String) =>
+      Fns.rollingHashRaw(
+        if (s == null) null
+        else s.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)))
   }
 }

@@ -442,20 +442,9 @@ object MergeInto {
     // -- 6. write the merged buckets, KEEPING the _status column in the
     // staged files. Table reads are schema-first (explicit StructType), so
     // the extra column is pruned for free on every later scan; its cost is
-    // ~1 dictionary-encoded byte/row once. Two designs for the per-bucket
-    // status stats were measured and REJECTED in favor of the columnar
-    // read-back below: (a) 8 x numBuckets flat conditional aggregates in
-    // an Observation — a 256-expression CollectMetrics re-analyzed +
-    // janino-recompiled every batch, ~5 s serial driver time (round 2);
-    // (b) ONE typed-Aggregator Observation riding the write — O(1)
-    // analysis, but the untyped-UDAF per-row update (row deserialize +
-    // Map probe) runs on EVERY merged row inside the write stage and the
-    // CollectMetrics node breaks whole-stage codegen around it: measured
-    // ~1.9 s/batch SLOWER than the read-back on identical 255k-row
-    // batches, and the overhead scales with batch rows (round 5, A/B in
-    // BENCH.md). The read-back is a second scan, but of 3 columns,
-    // columnar, codegen'd, fully parallel, with a fixed plan shape that
-    // hits the codegen cache across batches.
+    // ~1 dictionary-encoded byte/row once. The column exists to feed the
+    // per-bucket status READ-BACK at step 8 (see there for the two
+    // riding-the-write designs that were measured and rejected).
     val bucketIds = touched.toSeq.sorted
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)

@@ -25,6 +25,25 @@ object Ann {
   def hyperplaneBucket(v: Column, planes: Int, seed: Long, dim: Int): Column =
     graft.functions.Registry.hyperplaneBucket(v, planes, seed, dim)
 
+  /** Guard for the LSH entry points: the bucket expression's contract
+    * buckets any vector whose length != `dim` as 0L, so a corpus whose
+    * real dimension differs from the parameter (e.g. 128-dim embeddings
+    * against the default 64) would SILENTLY collapse to a single bucket —
+    * results stay correct but the pruning the operator exists for
+    * disappears. One tiny sample job per operator call catches it loudly.
+    */
+  private[operators] def requireDim(vecs: DataFrame, vecCol: String, dim: Int): Unit = {
+    val sample = vecs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    sample.headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"embedding dimension mismatch: column '$vecCol' has ${r.getInt(0)} " +
+          s"components but the LSH operator was configured with dim=$dim — " +
+          "every vector would silently bucket to 0 (no pruning); pass the " +
+          "corpus's real dimension")
+    }
+  }
+
   /** Interpreted reference formulation of [[hyperplaneBucket]] (identical
     * component function and bit packing); used to cross-check the native
     * expression.
@@ -62,20 +81,27 @@ object Ann {
   }
 
   /** LSH-bucketed ANN: corpus and queries hashed to hyperplane buckets;
-    * candidates = corpus rows in any probed bucket (the query's bucket
-    * plus single-bit flips up to `probes`), exact cosine re-rank inside.
+    * candidates = corpus rows in any probed bucket — the query's own
+    * bucket plus the first `probes - 1` single-bit flips (capped at
+    * `planes`, so `probes >= planes + 1` probes every neighbor) — exact
+    * cosine re-rank inside. `probes` is a genuine recall/cost knob:
+    * candidate volume scales with the probed-bucket count. (It was
+    * previously a boolean in disguise — any value >= 2 flipped ALL bits.)
     * Recall < 1 by construction; verified against brute force in tests.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, probes: Int = 2, seed: Long = 42L, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes, seed, dim))
-    // multi-probe: original bucket + all single-bit flips (probes>=1), as
-    // an exploded probe list -> the join stays a hash join on bucket
+    // multi-probe: original bucket + the first (probes-1) single-bit
+    // flips, as an exploded probe list -> the join stays a hash join on
+    // bucket. Flip order is fixed (bit 0 upward): deterministic, and each
+    // flip adds one adjacent Hamming-1 bucket.
+    val nFlips = (probes - 1).max(0).min(planes)
     val probeBuckets: Column => Column = b =>
-      if (probes <= 1) array(b)
-      else array(b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p))): _*)
+      array(b +: (0 until nFlips).map(p => b.bitwiseXOR(lit(1L << p))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qbucket", hyperplaneBucket(col("qv"), planes, seed, dim))
       .select(col("query_id"), col("qv"),

@@ -181,6 +181,7 @@ object Dedup {
           round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
+      Ann.requireDim(vecs, vecCol, dim)
       val withKey = base.withColumn("bucket",
         Ann.hyperplaneBucket(col("v"), planes, seed, dim))
       val probed =

@@ -130,16 +130,7 @@ final class HttpFeedServer private (
     }
     // exception messages carry quotes/newlines (Spark analysis errors
     // routinely do) — escape them or the error body is invalid JSON
-    def jsonStr(s: String): String =
-      "\"" + Option(s).getOrElse("").flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jsonStr(s: String): String = graft.util.IoUtil.jsonString(s)
     try {
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("POST", "/events") =>

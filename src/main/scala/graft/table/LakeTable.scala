@@ -368,8 +368,29 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     val out = f.create(tmp, false)
     try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename-if-absent is the CAS: fails (returns false) when target exists
-    val won = f.rename(tmp, target)
+    // The CAS. On HDFS-like stores rename-if-absent is atomic and fails
+    // when the target exists. On the LOCAL filesystem it is NOT a CAS:
+    // Hadoop's RawLocalFileSystem.rename delegates to File.renameTo =
+    // POSIX rename(2), which silently REPLACES an existing destination —
+    // two racers passing the exists() pre-check would both "win" and the
+    // loser's head would clobber the winner's (losing its ledger entry =>
+    // a replayed batch re-applies). So local schemes arbitrate through
+    // hard-link creation instead: link(2) is atomic and fails with EEXIST
+    // when the target exists. A crash between link and tmp-delete leaves
+    // only an orphaned .tmp-* file (no liveness impact, vacuumable).
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    val won =
+      if (scheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else f.rename(tmp, target)
     if (!won) {
       f.delete(tmp, false)
       throw new CommitConflictException(

@@ -173,9 +173,15 @@ object Maintenance {
     */
   def mostFragmented(table: LakeTable, n: Int): Set[Int] =
     table.filesOf(table.currentManifest())
-      .groupBy(_.bucket).view.mapValues(_.size).toSeq
-      .filter(_._2 > 1)
-      .sortBy { case (b, c) => (-c, b) }
+      .groupBy(_.bucket).view.mapValues(fs => (fs.size, fs.exists(_.isDelta)))
+      .toSeq
+      // a bucket needs folding when it has >1 file OR any delta file: a
+      // single delta file (trickle append into a previously-empty bucket)
+      // still pays the scan-time LWW resolution window on every read and
+      // holds GC-able tombstones — with >1-file-only selection it would
+      // never compact
+      .filter { case (_, (c, hasDelta)) => c > 1 || hasDelta }
+      .sortBy { case (b, (c, _)) => (-c, b) }
       .take(n).map(_._1).toSet
 
   /** Retire snapshot history below `retainFromVersion`: first [[vacuum]]

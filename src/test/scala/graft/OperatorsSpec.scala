@@ -167,7 +167,7 @@ class AnnSpec extends SparkSpec {
     val exact = Ann.bruteForceTopK(corpus, queries, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
     val approx = Ann.lshTopK(corpus, queries, k = 10,
-      planes = 4, probes = 2, dim = dim).collect()
+      planes = 4, probes = 5, dim = dim).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // random 16-dim vectors have weak LSH signal; the point is the

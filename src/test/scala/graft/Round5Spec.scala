@@ -432,3 +432,48 @@ class LineageWriterSpec extends SparkSpec {
     assert(cpDir.listFiles().map(_.getName).toSet === Set("batch=0"))
   }
 }
+
+/** The manifest-head CAS must hold on the LOCAL filesystem, where Hadoop's
+  * rename delegates to POSIX rename(2) and silently REPLACES an existing
+  * destination — rename-if-absent is only a CAS on HDFS-like stores. The
+  * commit arbitrates local schemes through atomic hard-link creation;
+  * this spec races many writers PAST the exists() pre-check (barrier) and
+  * asserts exactly one wins and the committed head is the winner's,
+  * uncorrupted, every iteration.
+  */
+class CommitCasLinkSpec extends SparkSpec {
+  import graft.table.CommitConflictException
+  import scala.jdk.CollectionConverters._
+
+  test("concurrent same-version commits: exactly one winner, head never clobbered") {
+    val table = LakeTable(tmpDir("cas-link") + "/t")
+    val schemaJson = graft.model.Schemas.seqTable.json
+    (1 to 20).foreach { iter =>
+      val version = iter.toLong - 1
+      val writers = 4
+      val barrier = new java.util.concurrent.CyclicBarrier(writers)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val threads = (1 to writers).map { w =>
+        val snap = s"iter$iter-writer$w"
+        val m = Manifest(version, snap, None, schemaJson,
+          numBuckets = 4, files = Nil, ledger = Map(s"cp/$version" -> snap))
+        val t = new Thread(() => {
+          barrier.await() // all writers pass any exists() pre-check together
+          try { table.commit(m); results.put(snap, true): Unit }
+          catch { case _: CommitConflictException => results.put(snap, false): Unit }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(30000))
+      val winners = results.asScala.filter(_._2).keys.toSeq
+      assert(winners.size === 1, s"iter $iter: winners = $winners")
+      // the committed head is the winner's, complete and parseable
+      val head = table.readManifest(version)
+      assert(head.snapshotId === winners.head)
+      assert(head.ledger === Map(s"cp/$version" -> winners.head))
+    }
+    // no .tmp leftovers from losing writers
+    val meta = new java.io.File(s"${table.root}/meta")
+    assert(meta.listFiles().count(_.getName.startsWith(".tmp-")) === 0)
+  }
+}
