@@ -313,23 +313,29 @@ object Fns {
     * text — the streaming-friendly fingerprint variant (deterministic
     * Scala; arithmetic too stateful for built-ins).
     */
-  /** Shared rolling-hash kernel over ALREADY-NORMALIZED text (see
-    * [[rollingHash]] for the normalization) — one definition for the
-    * Column API and the SQL registration, so the surfaces cannot drift.
+  /** Shared rolling-hash kernel, NORMALIZATION INCLUDED (trim + collapse
+    * whitespace + lowercase) — the one definition both the Column API and
+    * the SQL registration wrap. Normalizing inside the kernel (rather
+    * than with Spark-side trim/lower columns on one surface and Java
+    * string methods on the other) is what makes drift impossible: Spark's
+    * `trim` strips only ASCII spaces while Java's `trim` strips all
+    * control chars, so split normalization gave the two surfaces
+    * different fingerprints for inputs with tab/CR edges.
     */
   private[functions] def rollingHashRaw(s: String): Long =
     if (s == null) 0L
     else {
+      val t = s.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
       var h = 1125899906842597L
       var i = 0
-      val n = s.length
-      while (i < n) { h = 31 * h + s.charAt(i); i += 1 }
+      val n = t.length
+      while (i < n) { h = 31 * h + t.charAt(i); i += 1 }
       h
     }
 
   val rollingHash: Column => Column = {
     val u = udf { (s: String) => rollingHashRaw(s) }
-    c => u(lower(regexp_replace(trim(c), "\\s+", " ")))
+    c => u(c)
   }
 
   /** Word w-shingles of the normalized text (distinct). */

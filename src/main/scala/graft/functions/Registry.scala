@@ -36,9 +36,7 @@ object Registry {
     spark.udf.register("graft_hmac_sha256",
       (key: String, s: String) => Fns.hmacSha256Raw(key, s))
 
-    spark.udf.register("graft_rolling_hash", (s: String) =>
-      Fns.rollingHashRaw(
-        if (s == null) null
-        else s.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)))
+    spark.udf.register("graft_rolling_hash",
+      (s: String) => Fns.rollingHashRaw(s))
   }
 }

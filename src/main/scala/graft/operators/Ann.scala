@@ -93,6 +93,7 @@ object Ann {
       planes: Int = 8, probes: Int = 2, seed: Long = 42L, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireDim(corpus, vecCol, dim)
+    requireDim(queries, vecCol, dim)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes, seed, dim))
     // multi-probe: original bucket + the first (probes-1) single-bit

@@ -378,7 +378,11 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     // hard-link creation instead: link(2) is atomic and fails with EEXIST
     // when the target exists. A crash between link and tmp-delete leaves
     // only an orphaned .tmp-* file (no liveness impact, vacuumable).
-    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    // scheme from the RESOLVED FileSystem, not the (possibly scheme-less)
+    // Path: a bare /warehouse/t path on a cluster whose fs.defaultFS is
+    // HDFS must take the rename branch — the tmp file lives on HDFS, and
+    // local java.nio paths would not exist
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
     val won =
       if (scheme == "file") {
         try {
@@ -389,6 +393,15 @@ final class LakeTable private (val root: String, val conf: Configuration) {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // mount without link(2) support (FAT/exFAT, CIFS without unix
+            // extensions): fall back to rename-if-absent — functional, but
+            // only a true CAS on stores that honor dest-must-not-exist
+            System.err.println("[graft] WARN: hard links unsupported under " +
+              s"$metaDir; commit CAS falls back to rename-if-absent, which " +
+              "POSIX rename(2) does not arbitrate — avoid concurrent " +
+              "writers on this mount")
+            f.rename(tmp, target)
         }
       } else f.rename(tmp, target)
     if (!won) {
