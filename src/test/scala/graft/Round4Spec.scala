@@ -733,9 +733,10 @@ class TortureSpec extends SparkSpec {
         MergeInto.apply(spark, table, batchDf(evs), "cp", seg,
           MergeConfig(numBuckets = 8, deltaAppendThreshold = thr))
         applied ++= evs
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 =>
-            val subset = (0 until 8).filter(_ => rnd.nextBoolean()).toSet
+            val nb = table.currentManifest().numBuckets
+            val subset = (0 until nb).filter(_ => rnd.nextBoolean()).toSet
             Maintenance.compact(spark, table, buckets = Some(subset))
           case 1 =>
             // watermark stays BELOW anything still in flight
@@ -744,6 +745,13 @@ class TortureSpec extends SparkSpec {
           case 2 => Maintenance.vacuum(table, table.currentVersion())
           case 3 if table.currentVersion() > 3 =>
             Maintenance.expireSnapshots(table, table.currentVersion() - 2)
+          case 4 if table.currentManifest().numBuckets < 32 =>
+            // online bucket-count growth joins the adversarial mix: the
+            // shuffle-free split must survive interleaving with deltas,
+            // compaction, vacuum, expiry AND the stale numBuckets=8 the
+            // merges below keep passing (the kernel reads the manifest)
+            Maintenance.rebucket(spark, table,
+              table.currentManifest().numBuckets * 2)
           case _ => ()
         }
         if (seg % 4 == 3) assert(stateOf(table) === oracleOf(applied),
