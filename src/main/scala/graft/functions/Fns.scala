@@ -347,60 +347,141 @@ object Fns {
         i => concat_ws(" ", slice(ws, i + 1, lit(w))))))
   }
 
+  /** Iterate the DISTINCT word w-shingles of `ws` (first-seen order) —
+    * the shared tight-loop kernel of the sketch UDFs below. Produces
+    * exactly the strings of [[shingles]] (`concat_ws(" ", slice(ws, i+1,
+    * w))` over a length-w slice == the " "-join of the w words, and
+    * `array_distinct` == first-seen dedup); building them in one Scala
+    * pass replaces the interpreted higher-order pipeline, which
+    * re-evaluated the `split` inside the `transform` lambda once PER
+    * ELEMENT (O(words^2) per document — the round-6 plan audit's biggest
+    * per-row cost; see plans/r06/dedup_ngram_jaccard_before.txt node (3)).
+    */
+  @inline private def foreachDistinctShingle(ws: Seq[String], w: Int)(
+      f: String => Unit): Unit =
+    if (ws != null && ws.length >= w) {
+      val arr: IndexedSeq[String] = ws match {
+        case is: IndexedSeq[String] => is
+        case other => other.toIndexedSeq
+      }
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      val last = arr.length - w
+      while (j <= last) {
+        sb.setLength(0)
+        var t = 0
+        while (t < w) {
+          if (t > 0) sb.append(' ')
+          sb.append(arr(j + t))
+          t += 1
+        }
+        val s = sb.toString
+        if (seen.add(s)) f(s)
+        j += 1
+      }
+    }
+
+  /** Distinct word w-shingles as 64-bit xxhash64 values (same hash —
+    * identical seed-42 XXH64 over UTF-8 bytes — as the Catalyst
+    * `xxhash64` of the shingle string). The scale form of the shingle
+    * pipeline: downstream joins/exchanges carry an 8-byte key instead of
+    * a w-word string, and the per-row cost is one tight loop instead of
+    * the interpreted per-element transform (see [[foreachDistinctShingle]]).
+    * Count of the result == count of distinct string shingles, exactly;
+    * hash equality == string equality modulo 2^-64-scale collisions.
+    */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val u = udf { (ws: Seq[String]) =>
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
+      foreachDistinctShingle(ws, w) { s =>
+        out += org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      }
+      out.result()
+    }
+    u(words(lower(text)))
+  }
+
   /** MinHash signature (k permutations) over word shingles. One tight-loop
-    * UDF pass: the k per-seed minima are folded in a single traversal of
-    * the shingle set. (A pure-Column formulation — k `array_min(transform
-    * (...))` terms — recomputes the shingle expression k times because
-    * Catalyst collapses projections and higher-order functions are
-    * interpreted, measured ~10x slower.)
+    * UDF pass over the WORDS array: shingles are built inline
+    * ([[foreachDistinctShingle]] semantics — dedup is skipped because a
+    * min-fold over duplicates equals the min over the distinct set) and
+    * the k per-seed minima fold in the same traversal. (A pure-Column
+    * formulation — k `array_min(transform(...))` terms — recomputes the
+    * shingle expression k times; the previous shingles-column input paid
+    * the interpreted per-element `split` re-evaluation. Both measured
+    * slower; signatures are bit-identical across all three forms.)
     */
   def minhashSignature(text: Column, w: Int = 3, k: Int = 16): Column = {
     val u = udf { (ws: Seq[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
-      if (ws != null) ws.foreach { s =>
-        val base = scala.util.hashing.MurmurHash3.stringHash(s)
-        var i = 0
-        while (i < k) {
-          // splitmix-style per-seed remix of the base hash
-          var x = base.toLong ^ (i.toLong * 0x9e3779b97f4a7c15L)
-          x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-          x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-          x = x ^ (x >>> 31)
-          if (x < sig(i)) sig(i) = x
-          i += 1
+      if (ws != null && ws.length >= w) {
+        val arr: IndexedSeq[String] = ws match {
+          case is: IndexedSeq[String] => is
+          case other => other.toIndexedSeq
+        }
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        val last = arr.length - w
+        while (j <= last) {
+          sb.setLength(0)
+          var t = 0
+          while (t < w) {
+            if (t > 0) sb.append(' ')
+            sb.append(arr(j + t))
+            t += 1
+          }
+          val base = scala.util.hashing.MurmurHash3.stringHash(sb.toString)
+          var i = 0
+          while (i < k) {
+            // splitmix-style per-seed remix of the base hash
+            var x = base.toLong ^ (i.toLong * 0x9e3779b97f4a7c15L)
+            x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+            x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+            x = x ^ (x >>> 31)
+            if (x < sig(i)) sig(i) = x
+            i += 1
+          }
+          j += 1
         }
       }
       sig
     }
-    u(shingles(text, w))
+    u(words(lower(text)))
   }
 
   /** 64-bit SimHash over word shingles (deterministic Scala UDF; the
     * per-bit vote accumulation is clearer and faster rowwise than 64
-    * nested higher-order aggregates).
+    * nested higher-order aggregates). Operates on the WORDS array with
+    * shingles built inline — votes run over the DISTINCT shingle set,
+    * exactly as the previous shingles-column input did (the dedup is
+    * semantic here, unlike minhash: duplicate shingles would double-vote).
     */
   val simhash64: Column => Column = {
     val u = udf { (ws: Seq[String]) =>
-      if (ws == null || ws.isEmpty) 0L
-      else {
-        val votes = new Array[Int](64)
-        ws.foreach { s =>
-          // two murmur seeds -> 64 bits, no intermediate allocation
-          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
+      val votes = new Array[Int](64)
+      var any = false
+      foreachDistinctShingle(ws, 3) { s =>
+        any = true
+        // two murmur seeds -> 64 bits, no intermediate allocation
+        val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
         }
+      }
+      if (!any) 0L
+      else {
         var out = 0L
         var b = 0
         while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
         out
       }
     }
-    text => u(shingles(text, 3))
+    text => u(words(lower(text)))
   }
 
   /** Hamming distance between two 64-bit sketches. */

@@ -76,34 +76,47 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Fns.hamming64(col("a.sk"), col("b.sk")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct (identical result — the predicate is a
+      // pure function of the row): the chunk join emits every candidate
+      // collision and the overwhelming majority fail the Hamming test,
+      // so deduplicating first shuffled the whole candidate set into the
+      // distinct exchange only to drop it afterwards (guide §2.3
+      // "aggregate before you shuffle" — measured ~10^7 candidate rows
+      // at sf0.1 vs a few hundred survivors)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs sharing at least
     * one shingle: explode distinct shingles, self-join on shingle,
     * |intersection| / |union| >= threshold. The shuffle key is the
     * shingle; document pairs never materialize unless they share content.
+    *
+    * Round-6 shape (guide §2.3/§4): the join key is the 64-bit
+    * [[Fns.shingleHashes]] of the shingle — 8 bytes per joined row
+    * instead of a w-word string, and one tight-loop UDF per document
+    * instead of the interpreted higher-order pipeline that re-ran
+    * `split` per shingle (plans/r06/dedup_ngram_jaccard_before.txt (3)).
+    * Per-doc set sizes ride the exploded rows (one extra int) and fold
+    * in the pair aggregate, replacing the two broadcast joins whose
+    * subtrees re-ran the whole shingle pipeline twice more (before-plan
+    * nodes (17)-(34)): 4 evaluations of the shingle pipeline become 1,
+    * 3 aggregates become 1, 2 broadcast exchanges become 0.
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // keep the self-joined frame NARROW (id, shingle) and identical on
-    // both sides: the join's two shuffles then come from the same subtree
-    // and Spark's ReuseExchange evaluates the (expensive, interpreted)
-    // shingle pipeline once; per-doc set sizes join back afterwards as a
-    // small broadcast instead of riding every exploded row
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(Fns.shingles(col(textCol), shingleWidth)).as("s"))
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = exploded.as("a").join(exploded.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    // project the hash array ONCE (separate select), so size() and the
+    // explode generator share the one UDF evaluation below them
+    val hashed = docs.select(col(idCol).as("id"),
+      Fns.shingleHashes(col(textCol), shingleWidth).as("hs"))
+    val exploded = hashed
+      .select(col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "na")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "nb")), Seq("id_b"))
+      // n_sh is functionally dependent on the group key: min == the value
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n_sh")).as("na"), min(col("b.n_sh")).as("nb"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
@@ -134,19 +147,26 @@ object Dedup {
     var converged = false
     while (i < maxIter && !converged) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
+        .select(edges("src").as("id"), col("label"), lit(false).as("_self"))
       // checkpoint each round: truncates the doubling lineage AND lets
-      // the convergence probe + next round reuse the materialized result
-      val next = labels.select(col("id"), col("label"))
+      // the convergence probe + next round reuse the materialized result.
+      // The round's OWN label rides the union with a _self flag, so the
+      // aggregate computes (new label, previous label) together and the
+      // convergence probe below is a filter over the checkpointed rows —
+      // the per-round probe JOIN of the previous shape is gone (guide
+      // §2.4: two operations keyed the same way share one pass). Every
+      // id in viaNeighbor also appears in labels (edges carry both
+      // directions, so each node is a src), so _prev is never null.
+      val next = labels.select(col("id"), col("label"), lit(true).as("_self"))
         .union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy("id").agg(min("label").as("label"),
+          min(when(col("_self"), col("label"))).as("_prev"))
         .localCheckpoint()
       // early exit when a full round moves no label: propagation needs
       // diameter rounds, and real near-dup graphs converge in 2-3 —
       // each skipped round saves a full join+aggregate job
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("_prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
@@ -193,8 +213,11 @@ object Dedup {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
-      .distinct()
+      // filter BEFORE distinct (identical result — cosine is a pure
+      // function of the pair): multi-probe duplicates and sub-threshold
+      // candidates no longer ride the distinct exchange (guide §2.3)
       .filter(col("cosine") >= threshold)
+      .distinct()
     }
   }
 }
