@@ -103,7 +103,20 @@ final case class MergeConfig(
       * U/UPSERT as update, a D as delete) since match status is unknown
       * without reading the target.
       */
-    deltaAppendThreshold: Long = 0L)
+    deltaAppendThreshold: Long = 0L,
+    /** Compute the per-status lineage counters (n_insert / n_update /
+      * n_delete / n_dedup_dropped) via the post-write `_status` read-back
+      * job. IMPLIED by `lineageDir` (persisted lineage must be exact).
+      * Off by default (round 6): the read-back is one extra Spark job on
+      * the per-batch serial path — O(rewritten buckets) rows scanned
+      * purely for observability counters — and the fields the engine
+      * itself consumes (per-bucket LSN ranges, batch/snapshot ids; the
+      * stream's tombstone-GC watermark reads `max_lsn`) come exactly
+      * from the driver-side pre-pass stats either way. When off and no
+      * `lineageDir` is set, `MergeResult.lineage` rows carry -1 in the
+      * four counter fields (explicitly "not computed", never a silent 0).
+      */
+    statusCounts: Boolean = false)
 
 /** The MERGE INTO kernel: apply one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins by (doc_id, lsn), schema evolution,
@@ -481,24 +494,32 @@ object MergeInto {
     // A/B in BENCH.md).
     val readbackSchema = StructType(Seq(
       StructField("_status", StringType), StructField("_bucket", IntegerType)))
-    val statF = {
-      import scala.concurrent.{ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Future {
-        spark.read.schema(readbackSchema).parquet(staging)
-          .groupBy(col("_bucket"))
-          .agg(
-            sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
-            sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
-            sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
-            sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
-            sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
-          .collect()
-          .map(r => r.getInt(0) -> Array(r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getLong(5)))
-          .toMap
+    // round 6: the read-back runs ONLY when a consumer needs the status
+    // counters (lineageDir persistence or an explicit statusCounts opt-in)
+    // — for every other caller it was a pure-observability Spark job on
+    // the per-batch serial path (guide §1.2: don't compute things you
+    // throw away)
+    val wantCounts = cfg.statusCounts || cfg.lineageDir.isDefined
+    val statF: Option[scala.concurrent.Future[Map[Int, Array[Long]]]] =
+      if (!wantCounts) None
+      else Some {
+        import scala.concurrent.{ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Future {
+          spark.read.schema(readbackSchema).parquet(staging)
+            .groupBy(col("_bucket"))
+            .agg(
+              sum(when(col("_status") === "insert", 1L).otherwise(0L)).as("nI"),
+              sum(when(col("_status") === "update", 1L).otherwise(0L)).as("nU"),
+              sum(when(col("_status") === "delete", 1L).otherwise(0L)).as("nD"),
+              sum(when(col("_status") === "delete_noop", 1L).otherwise(0L)).as("nDn"),
+              sum(when(col("_status") === "stale", 1L).otherwise(0L)).as("nS"))
+            .collect()
+            .map(r => r.getInt(0) -> Array(r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5)))
+            .toMap
+        }
       }
-    }
 
     val snapshotId = UUID.randomUUID().toString
     // Runs after manifest composition, immediately before the CAS: await
@@ -506,13 +527,18 @@ object MergeInto {
     // parquet (deterministic path + overwrite => exactly-once metrics; a
     // crash on either side of the commit replays to identical content).
     def finishLineage(): Seq[graft.model.LineageRow] = {
-      val statRows = timed("lineage-stats")(scala.concurrent.Await.result(
-        statF, scala.concurrent.duration.Duration.Inf))
+      val statRows: Map[Int, Array[Long]] = statF match {
+        case Some(f) => timed("lineage-stats")(scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        case None => Map.empty
+      }
       val lineage = bucketIds.map { b =>
         val (nRaw, minL, maxL) = batchStats(b)
         val (nI, nU, nD, nDn, nS) = statRows.get(b) match {
           case Some(a) => (a(0), a(1), a(2), a(3), a(4))
-          case None => (0L, 0L, 0L, 0L, 0L)
+          case None if wantCounts => (0L, 0L, 0L, 0L, 0L)
+          // counters not computed this batch: -1 sentinels, never fake 0s
+          case None => (-1L, -1L, -1L, 0L, 0L)
         }
         // rows that carried a change = the batch's distinct keys
         val nKeys = nI + nU + nD + nDn + nS
@@ -523,8 +549,8 @@ object MergeInto {
           max_lsn = maxL,
           n_insert = nI,
           n_update = nU,
-          n_delete = nD + nDn,
-          n_dedup_dropped = nRaw - nKeys,
+          n_delete = if (wantCounts) nD + nDn else -1L,
+          n_dedup_dropped = if (wantCounts) nRaw - nKeys else -1L,
           snapshot_id = snapshotId)
       }
       // driver-side parquet write ([[LineageWriter]]): a handful of rows
@@ -550,9 +576,11 @@ object MergeInto {
         // status read-back (e.g. a manifest-compose error or a lost CAS):
         // drain the future here so no unobserved Spark job outlives the
         // batch with its own failure silently discarded
-        try scala.concurrent.Await.ready(
-          statF, scala.concurrent.duration.Duration(60, "s")): Unit
-        catch { case _: Throwable => () }
+        statF.foreach { f =>
+          try scala.concurrent.Await.ready(
+            f, scala.concurrent.duration.Duration(60, "s")): Unit
+          catch { case _: Throwable => () }
+        }
         throw commitFailure
     }
     } finally cachedBatch.foreach(_.unpersist(false))
