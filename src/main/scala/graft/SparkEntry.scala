@@ -25,7 +25,7 @@ object SparkEntry {
   // ---- the events table viewed as a CDC change feed --------------------
   // lsn = event_id (monotonic), key = user, op: 'error' events are deletes,
   // everything else upserts; tokens are a deterministic 3-int payload.
-  private def cdcChanges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcChanges(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(t(dir, "events"))
     ev.select(
       ev("event_id").as("lsn"),

@@ -507,4 +507,22 @@ object Fns {
     * `aggregate`-based [[dot]] and the DuckDB oracle bit-for-bit.
     */
   def cosine(a: Column, b: Column): Column = Registry.cosineSimilarity(a, b)
+
+  /** Native dot product / euclidean norm of float-vector columns (double
+    * precision, codegen'd tight loops). Building blocks for the hoisted
+    * pair-cosine below.
+    */
+  def vecDot(a: Column, b: Column): Column = Registry.vecDot(a, b)
+  def vecNorm(v: Column): Column = Registry.vecNorm(v)
+
+  /** [[cosine]] re-expressed over per-ROW precomputed norms so an O(n²)
+    * pair join runs ONE array loop per pair instead of three (guide §1.2
+    * per-task work): `na`/`nb` must be `vecNorm` of the same vectors.
+    * BIT-IDENTICAL to `cosine(a, b)` — same sequential accumulation
+    * orders, same final ops, and the zero-norm/length-mismatch/null cases
+    * all yield null exactly where the fused expression does (proved in
+    * Round6Spec against randomized vectors and every edge case).
+    */
+  def cosineWithNorms(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(dot / (na * nb))
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, HyperplaneBucket, VecNorm}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -17,6 +17,15 @@ object Registry {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API handle for the native dot-product expression. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-API handle for the native vector-norm expression. */
+  def vecNorm(v: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(v)))
 
   /** Column-API handle for the native hyperplane-LSH bucket expression. */
   def hyperplaneBucket(v: Column, planes: Int, seed: Long, dim: Int): Column =

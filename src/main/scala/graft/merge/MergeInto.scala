@@ -104,6 +104,19 @@ final case class MergeConfig(
       * without reading the target.
       */
     deltaAppendThreshold: Long = 0L,
+    /** Row-count ceiling for the SINGLE-TASK merge plan (round 6): when
+      * the batch (and, for the rewrite path, batch + touched-target rows
+      * from the manifest stats) fits under this, the merge coalesces its
+      * inputs to one partition FIRST — SinglePartition satisfies every
+      * downstream clustering requirement, so dedupe window, full-outer
+      * join and the bucket-partitioned write all plan as ONE exchange-free
+      * single-task stage (one Spark job instead of 3-4 per batch). This is
+      * scale-ADAPTIVE, not a local-mode constant: at any cluster size, a
+      * sub-100k-row micro-batch is dominated by per-job scheduling floor,
+      * and one task bounded by this row count cannot skew or spill.
+      * Batches above the ceiling keep the parallel plans unchanged.
+      */
+    singleTaskRows: Long = 100000L,
     /** Compute the per-status lineage counters (n_insert / n_update /
       * n_delete / n_dedup_dropped) via the post-write `_status` read-back
       * job. IMPLIED by `lineageDir` (persisted lineage must be exact).
@@ -138,6 +151,14 @@ final case class MergeConfig(
 object MergeInto {
 
   val TOMBSTONE: String = LakeTable.TOMBSTONE
+
+  /** Diagnostics hook (system property `graft.merge.explain`): retains the
+    * formatted plan of the last batch's write frame so plan-shape claims
+    * (e.g. "a small batch's merge is a single exchange-free stage") are
+    * assertable in specs and capturable for the committed plan artifacts
+    * without touching the write path. Driver-side, test/tooling only.
+    */
+  @volatile private[graft] var lastWritePlan: Option[String] = None
 
   private val timingOn = sys.env.contains("GRAFT_MERGE_TIMING")
   private def timed[T](what: String)(f: => T): T =
@@ -321,15 +342,39 @@ object MergeInto {
     // conservative broadcast decision: raw count >= deduped count
     val rawRows = batchStats.valuesIterator.map(_._1).sum
 
+    // manifest-LIST pruning, hoisted above the dedupe (driver-side
+    // metadata only): only the ranges the batch touches are even opened,
+    // untouched buckets carry over by reference with no metadata or data
+    // I/O — the analog of the reference pushing its filter into the keyed
+    // store, PontusIdGenerator.java:299
+    val touchedFiles = current.map(m => table.filesOf(m, Some(touched))).getOrElse(Nil)
+
+    // merge-on-read trickle path decided EARLY (from the pre-pass stats)
+    // so the dedupe below can pick its plan shape per path
+    val isDeltaAppend = cfg.deltaAppendThreshold > 0 &&
+      rawRows <= cfg.deltaAppendThreshold &&
+      cfg.columnPolicy.isEmpty && touchedFiles.nonEmpty
+
     // -- 3. dedupe to one winner per key, salted against skew -----------
-    val deduped = dedupeLatest(batch, cfg.saltFactor)
+    // A SMALL batch coalesces to one partition FIRST: SinglePartition
+    // satisfies the window's clustering requirement (and, on the rewrite
+    // path, the merge join's), so dedupe+join+project+sort+write all plan
+    // as ONE exchange-free single-task stage (guide §2.4) — one Spark job
+    // per batch instead of 3-4 (window exchange, broadcast builds, keys
+    // scan). Decided from sizes the driver already has: the stats
+    // pre-pass gives rawRows, the manifest file stats give the touched
+    // buckets' stored rows. Batches above `singleTaskRows` keep the
+    // parallel plans unchanged.
+    val targetRows = touchedFiles.map(_.rows).sum
+    val deltaSingleTask = isDeltaAppend && rawRows <= cfg.singleTaskRows
+    val mergeSingleTask = !isDeltaAppend &&
+      rawRows + targetRows <= cfg.singleTaskRows
+    val deduped = dedupeLatest(
+      if (deltaSingleTask || mergeSingleTask) batch.coalesce(1) else batch,
+      cfg.saltFactor)
 
     // -- 4. read ONLY the touched buckets of the target -----------------
-    // (manifest-LIST pruning: only the ranges the batch touches are even
-    // opened, untouched buckets carry over by reference with no metadata
-    // or data I/O — the analog of the reference pushing its filter into
-    // the keyed store, `PontusIdGenerator.java:299`)
-    val touchedFiles = current.map(m => table.filesOf(m, Some(touched))).getOrElse(Nil)
+    // (touchedFiles hoisted above the dedupe — see the pruning note there)
     val storedOld = storedSchema(tableSchema)
     val storedNew = storedSchema(evolved)
     // delta files carry multiple versions per key: the target side of the
@@ -395,15 +440,11 @@ object MergeInto {
           status.as("_status")): _*)
     }
 
+    val useBroadcast = rawRows <= cfg.broadcastThreshold
     // merge-on-read trickle path: append deltas, skip the target read and
     // the join entirely; the LWW decision defers to scan-time resolution
     // (equivalent outcome for Overwrite-policy columns: the read window's
     // max-lsn winner == the kernel's change-wins-ties rule)
-    val isDeltaAppend = cfg.deltaAppendThreshold > 0 &&
-      rawRows <= cfg.deltaAppendThreshold &&
-      cfg.columnPolicy.isEmpty && touchedFiles.nonEmpty
-
-    val useBroadcast = rawRows <= cfg.broadcastThreshold
     val mergedFlat: DataFrame =
       if (isDeltaAppend) {
         val isDel = col("op") === Ops.Delete
@@ -417,6 +458,18 @@ object MergeInto {
       } else if (touchedFiles.isEmpty) {
         // nothing to match: the whole batch inserts (or tombstones)
         insertProject(ch)
+      } else if (mergeSingleTask) {
+        // SMALL rewrite batch: full-outer sort-merge join with BOTH sides
+        // on a single partition — SinglePartition is co-partitioned with
+        // itself, so the join (and the batch's dedupe window above it)
+        // plans with ZERO exchanges and no broadcast-build jobs; the
+        // whole merge is one single-task Spark job. Same matchProject
+        // semantics as the large-batch shuffle path below.
+        val tg = scanTarget().coalesce(1).withColumn("_has_target", lit(true))
+        matchProject(
+          tg.as("t").join(ch.as("c"),
+            col("t.doc_id") === col("c.doc_id"), "full_outer"),
+          hasTExpr = coalesce(col("t._has_target"), lit(false)))
       } else if (useBroadcast) {
         // Broadcast MERGE: the big target side NEVER shuffles. Spark's
         // BroadcastHashJoin cannot build a full-outer join, so decompose:
@@ -462,11 +515,23 @@ object MergeInto {
     val nextVersion = current.map(_.version + 1).getOrElse(0L)
     val staging = table.stagingDir(nextVersion)
     // a trickle delta batch writes ONE task (one small file per touched
-    // bucket dir) — no point fanning a few thousand rows over N tasks
-    timed("merge-write")(merged
-      .repartition(if (isDeltaAppend) 1 else touched.size.max(1), col("_bucket"))
-      .sortWithinPartitions(col("_bucket"), col("doc_id"))
-      .write.partitionBy("_bucket").mode("overwrite").parquet(staging))
+    // bucket dir) — no point fanning a few thousand rows over N tasks.
+    // coalesce(1), not repartition(1, _bucket): a keyed repartition into a
+    // single partition is a full extra Exchange (and stage) that moves
+    // every row to the same place coalesce reaches narrowly — identical
+    // file content. With deltaSingleTask the input was already coalesced
+    // ahead of the dedupe window, so the whole delta batch is ONE
+    // exchange-free single-task stage (guide §2.4).
+    val placed =
+      if (deltaSingleTask || mergeSingleTask) merged
+      else if (isDeltaAppend) merged.coalesce(1)
+      else merged.repartition(touched.size.max(1), col("_bucket"))
+    val toWrite = placed.sortWithinPartitions(col("_bucket"), col("doc_id"))
+    if (sys.props.contains("graft.merge.explain"))
+      lastWritePlan = Some(toWrite.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    timed("merge-write")(
+      toWrite.write.partitionBy("_bucket").mode("overwrite").parquet(staging))
 
     // -- 7. manifest entries for the staged files, with per-file pruning
     // stats (rows, lsn min/max) harvested from the parquet FOOTERS —

@@ -67,12 +67,17 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted out of the O(|q|·n) pair loop — bit-identical to the
+    // fused cosine (Fns.cosineWithNorms)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("cn", Fns.vecNorm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", Fns.vecNorm(col("qv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        Fns.cosine(col("qv"), col("cv")).as("sim"))
+        Fns.cosineWithNorms(Fns.vecDot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -95,6 +100,7 @@ object Ann {
     requireDim(corpus, vecCol, dim)
     requireDim(queries, vecCol, dim)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("cn", Fns.vecNorm(col("cv")))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes, seed, dim))
     // multi-probe: original bucket + the first (probes-1) single-bit
     // flips, as an exploded probe list -> the join stays a hash join on
@@ -104,13 +110,15 @@ object Ann {
     val probeBuckets: Column => Column = b =>
       array(b +: (0 until nFlips).map(p => b.bitwiseXOR(lit(1L << p))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", Fns.vecNorm(col("qv")))
       .withColumn("qbucket", hyperplaneBucket(col("qv"), planes, seed, dim))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("qn"),
         explode(probeBuckets(col("qbucket"))).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        Fns.cosine(col("qv"), col("cv")).as("sim"))
+        Fns.cosineWithNorms(Fns.vecDot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("sim"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
@@ -216,14 +224,17 @@ object Ann {
       }
     }
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .withColumn("cn", Fns.vecNorm(col("cv")))
       .withColumn("list_id", assignU(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"),
+      .withColumn("qn", Fns.vecNorm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
         explode(probeU(col("qv"))).as("list_id"))
     val scored = q.join(c, Seq("list_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        Fns.cosine(col("qv"), col("cv")).as("sim"))
+        Fns.cosineWithNorms(Fns.vecDot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

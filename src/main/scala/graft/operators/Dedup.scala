@@ -194,11 +194,17 @@ object Dedup {
       vecCol: String = "embedding", threshold: Double = 0.9,
       planes: Int = 0, seed: Long = 42L, dim: Int = 64,
       multiProbe: Boolean = true): DataFrame = {
+    // per-ROW norm computed once before the pair join: the O(n²) hot path
+    // then runs one dot-product loop per pair instead of the fused
+    // cosine's three array loops — bit-identical results (Fns.cosineWithNorms)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.vecNorm(col("v")))
+    def pairCosine: Column = round(Fns.cosineWithNorms(
+      Fns.vecDot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4)
     if (planes <= 0) {
       base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+          pairCosine.as("cosine"))
         .filter(col("cosine") >= threshold)
     } else {
       Ann.requireDim(vecs, vecCol, dim)
@@ -206,13 +212,13 @@ object Dedup {
         Ann.hyperplaneBucket(col("v"), planes, seed, dim))
       val probed =
         if (!multiProbe) withKey
-        else withKey.select(col("id"), col("v"), explode(
+        else withKey.select(col("id"), col("v"), col("nrm"), explode(
           array((col("bucket") +: (0 until planes).map(p =>
             col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
       probed.as("a").join(withKey.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Fns.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+        pairCosine.as("cosine"))
       // filter BEFORE distinct (identical result — cosine is a pure
       // function of the pair): multi-probe duplicates and sub-threshold
       // candidates no longer ride the distinct exchange (guide §2.3)

@@ -95,8 +95,11 @@ final class HttpFeedServer private (
         bad.coalesce(1).write.mode("overwrite")
           .json(s"$feedDir/_rejects/seg=$seg")
       val good = df.filter(!badPred).drop("_corrupt_record")
-      good.orderBy(col("lsn"))
-        .coalesce(1)
+      // LSN order inside the single segment file: coalesce(1) THEN a
+      // within-partition sort — a global orderBy plans a range exchange
+      // whose boundary-sampling pass is a whole extra Spark job per flush
+      // for a one-file result the local sort produces identically
+      good.coalesce(1).sortWithinPartitions(col("lsn"))
         .write.mode("overwrite").parquet(s"$feedDir/seg=$seg")
       // only now is the segment durable: advance + drop the buffer
       nextSeg += 1
