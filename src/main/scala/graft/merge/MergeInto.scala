@@ -380,8 +380,12 @@ object MergeInto {
     // delta files carry multiple versions per key: the target side of the
     // join must be LWW-resolved first or matched keys would fan out
     // (resolution windows ONLY the delta-bearing buckets)
+    // the single-task merge coalesces the target scan BELOW any delta
+    // resolution window, keeping the whole plan exchange-free even when
+    // the touched buckets carry deltas
     def scanTarget(): DataFrame =
-      alignTo(table.scanResolved(spark, storedOld, touchedFiles), storedNew)
+      alignTo(table.scanResolved(spark, storedOld, touchedFiles,
+        singlePartition = mergeSingleTask), storedNew)
 
     // -- 5. MERGE join on the key ---------------------------------------
     val dataCols = evolved.fieldNames.filterNot(_ == "doc_id").toIndexedSeq

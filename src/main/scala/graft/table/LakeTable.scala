@@ -541,14 +541,24 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     * window, no shuffle. At scale deltas concentrate in recently-written
     * buckets; reading the whole table must not pay a resolution exchange
     * for the compacted majority.
+    *
+    * `singlePartition` coalesces each scan to one partition BELOW the
+    * resolution window, so SinglePartition satisfies its clustering
+    * requirement and even the delta-bearing buckets resolve with no
+    * Exchange — for callers (small-batch merge, small-table compaction)
+    * that already know from the manifest stats the whole scan fits one
+    * task. Results are identical; only the partitioning changes.
     */
   def scanResolved(spark: SparkSession, stored: StructType,
-      files: Seq[FileEntry]): DataFrame = {
-    def scan(fs: Seq[FileEntry]): DataFrame =
-      if (fs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
-      else spark.read.schema(stored).parquet(fs.map(_.path): _*)
+      files: Seq[FileEntry], singlePartition: Boolean = false): DataFrame = {
+    def scan(fs: Seq[FileEntry]): DataFrame = {
+      val df =
+        if (fs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+        else spark.read.schema(stored).parquet(fs.map(_.path): _*)
+      if (singlePartition) df.coalesce(1) else df
+    }
     val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
     if (deltaBuckets.isEmpty) scan(files)
     else {

@@ -63,13 +63,24 @@ object Maintenance {
     // merge-on-read deltas fold back into one base file per bucket here:
     // LWW-resolve multi-version keys FIRST (delta-bearing buckets only),
     // then the tombstone filter (the resolved winner may be a tombstone —
-    // the key must drop, not fall back to a stale base row)
-    val df = table.scanResolved(spark, stored, touched)
+    // the key must drop, not fall back to a stale base row).
+    // Size-adaptive single-task plan (same rule as the merge kernel's
+    // MergeConfig.singleTaskRows): when the manifest stats say the touched
+    // buckets fit one task, coalesce BELOW the resolution window so the
+    // whole fold+filter+sort+write is one exchange-free stage instead of
+    // a 2-3 stage job — a maintenance cycle over trickle-sized buckets is
+    // scheduling-floor-bound, not data-bound. Larger selections keep the
+    // parallel repartition.
+    val singleTask = touched.map(_.rows).sum <= 100000L
+    val df = table.scanResolved(spark, stored, touched, singlePartition = singleTask)
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
 
-    df.repartition(nTouchedBuckets, col("_bucket"))
+    val placed =
+      if (singleTask) df.coalesce(1)
+      else df.repartition(nTouchedBuckets, col("_bucket"))
+    placed
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
       .write.partitionBy("_bucket").mode("overwrite").parquet(staging)
 
@@ -139,7 +150,13 @@ object Maintenance {
     val files = table.filesOf(m)
     val filesBefore = files.size
     if (files.nonEmpty) {
-      table.scanResolved(spark, stored, files)
+      // coalesce (narrow — the plan stays exchange-free, RebucketSpec's
+      // invariant) to one task when the manifest stats say the whole
+      // table fits it: a small table's rewrite is otherwise fanned over
+      // one task per input file, each paying parquet-writer setup for up
+      // to k output files
+      val singleTask = files.map(_.rows).sum <= 100000L
+      table.scanResolved(spark, stored, files, singlePartition = singleTask)
         .withColumn("_bucket",
           pmod(xxhash64(col("doc_id")), lit(newNumBuckets.toLong)).cast("int"))
         .sortWithinPartitions(col("_bucket"), col("doc_id"))
