@@ -239,8 +239,11 @@ object SparkEntry {
     "cdc_stream_final" -> ((s, dir) => {
       val root = scratchDir("graft-cdc-stream", dir)
       val changes = cdcChanges(s, dir)
+      // coalesce, not repartition(4, seg): one task writes the 4 segment
+      // dirs (1 file per seg either way) without a keyed exchange — the
+      // tailed feed layout and every downstream result are identical
       changes.withColumn("seg", pmod(col("lsn"), lit(4L)))
-        .repartition(4, col("seg"))
+        .coalesce(1)
         .write.partitionBy("seg").mode("overwrite").parquet(s"$root/feed")
       val cfg = graft.stream.StreamConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table",
