@@ -137,9 +137,18 @@ object Dedup {
     // the maxIter jobs re-executes the upstream pair pipeline (for
     // Jaccard pairs that is the expensive shingle self-join — measured
     // 113.9 s -> the persisted loop at sf0.1; see BENCH.md round 2).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    // size-adaptive single-partition loop (the merge kernel's
+    // singleTaskRows rule): a SMALL pair graph coalesces once, after
+    // which every round's join + aggregate + convergence probe satisfies
+    // its distribution requirements via SinglePartition and runs as one
+    // exchange-free single-task job — the loop is scheduling-floor-bound,
+    // not data-bound, at this size. The count is free (edges are already
+    // materialized by the checkpoint). Identical labels either way.
+    val small = edges0.count() <= 100000L
+    val edges = if (small) edges0.coalesce(1) else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -157,8 +166,11 @@ object Dedup {
       // §2.4: two operations keyed the same way share one pass). Every
       // id in viaNeighbor also appears in labels (edges carry both
       // directions, so each node is a src), so _prev is never null.
-      val next = labels.select(col("id"), col("label"), lit(true).as("_self"))
+      // (The union re-fans to 2 partitions in the small case; coalesce
+      // keeps the aggregate exchange-free.)
+      val unioned = labels.select(col("id"), col("label"), lit(true).as("_self"))
         .union(viaNeighbor)
+      val next = (if (small) unioned.coalesce(1) else unioned)
         .groupBy("id").agg(min("label").as("label"),
           min(when(col("_self"), col("label"))).as("_prev"))
         .localCheckpoint()
