@@ -38,6 +38,16 @@ object Registry {
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => DotProduct(exprs.head, exprs(1)),
+      "built-in")
+
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm",
+      exprs => VecNorm(exprs.head),
+      "built-in")
+
     // both wrap the Fns kernels so SQL and Column surfaces cannot drift
     // (they HAD drifted: the SQL rolling hash skipped the normalization
     // the Column API applies, giving different fingerprints for the same

@@ -115,8 +115,10 @@ final case class MergeConfig(
       * sub-100k-row micro-batch is dominated by per-job scheduling floor,
       * and one task bounded by this row count cannot skew or spill.
       * Batches above the ceiling keep the parallel plans unchanged.
+      * Default = [[graft.table.LakeTable.SingleTaskRows]], the table
+      * layer's shared single-task rule.
       */
-    singleTaskRows: Long = 100000L,
+    singleTaskRows: Long = graft.table.LakeTable.SingleTaskRows,
     /** Compute the per-status lineage counters (n_insert / n_update /
       * n_delete / n_dedup_dropped) via the post-write `_status` read-back
       * job. IMPLIED by `lineageDir` (persisted lineage must be exact).
@@ -468,8 +470,9 @@ object MergeInto {
         // itself, so the join (and the batch's dedupe window above it)
         // plans with ZERO exchanges and no broadcast-build jobs; the
         // whole merge is one single-task Spark job. Same matchProject
-        // semantics as the large-batch shuffle path below.
-        val tg = scanTarget().coalesce(1).withColumn("_has_target", lit(true))
+        // semantics as the large-batch shuffle path below. (scanTarget
+        // already honors mergeSingleTask's single-partition contract.)
+        val tg = scanTarget().withColumn("_has_target", lit(true))
         matchProject(
           tg.as("t").join(ch.as("c"),
             col("t.doc_id") === col("c.doc_id"), "full_outer"),

@@ -140,14 +140,17 @@ object Dedup {
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    // size-adaptive single-partition loop (the merge kernel's
-    // singleTaskRows rule): a SMALL pair graph coalesces once, after
-    // which every round's join + aggregate + convergence probe satisfies
-    // its distribution requirements via SinglePartition and runs as one
-    // exchange-free single-task job — the loop is scheduling-floor-bound,
-    // not data-bound, at this size. The count is free (edges are already
-    // materialized by the checkpoint). Identical labels either way.
-    val small = edges0.count() <= 100000L
+    // size-adaptive single-partition loop (the table layer's
+    // LakeTable.SingleTaskRows rule, same ceiling): a SMALL pair graph
+    // coalesces once, after which every round's join + aggregate +
+    // convergence probe satisfies its distribution requirements via
+    // SinglePartition and runs as one exchange-free single-task job —
+    // the loop is scheduling-floor-bound, not data-bound, at this size.
+    // The probe is LIMIT-bounded so a huge graph pays O(ceiling) to
+    // answer "not small", never a full count pass over the edge list.
+    val smallGraphEdges = 100000L
+    val small =
+      edges0.limit(smallGraphEdges.toInt + 1).count() <= smallGraphEdges
     val edges = if (small) edges0.coalesce(1) else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

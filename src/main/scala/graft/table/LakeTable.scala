@@ -564,7 +564,13 @@ final class LakeTable private (val root: String, val conf: Configuration) {
     else {
       val (affected, plain) = files.partition(f => deltaBuckets.contains(f.bucket))
       val resolved = LakeTable.resolveLatest(scan(affected))
-      if (plain.isEmpty) resolved else resolved.unionByName(scan(plain))
+      if (plain.isEmpty) resolved
+      else {
+        val all = resolved.unionByName(scan(plain))
+        // the union re-fans to 2 partitions; honor the contract here so
+        // callers need no per-site re-coalesce
+        if (singlePartition) all.coalesce(1) else all
+      }
     }
   }
 
@@ -612,6 +618,16 @@ final class LakeTable private (val root: String, val conf: Configuration) {
 }
 
 object LakeTable {
+
+  /** Row-count ceiling under which a table-layer rewrite (merge batch,
+    * compaction, rebucket) plans as ONE exchange-free single-task stage —
+    * the shared default behind `MergeConfig.singleTaskRows` and the
+    * maintenance rewrites, kept in one place so the rule cannot drift
+    * between call sites. Scale-adaptive logic, not a local-mode constant:
+    * at any cluster size a sub-100k-row job is scheduling-floor-bound,
+    * and one task bounded by this count cannot skew or spill.
+    */
+  val SingleTaskRows: Long = 100000L
 
   /** Bucket ranges per table: fine enough that a 1-bucket commit rewrites
     * ~1/64 of the metadata, coarse enough that a full-spread batch writes

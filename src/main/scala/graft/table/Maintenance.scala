@@ -71,14 +71,14 @@ object Maintenance {
     // a 2-3 stage job — a maintenance cycle over trickle-sized buckets is
     // scheduling-floor-bound, not data-bound. Larger selections keep the
     // parallel repartition.
-    val singleTask = touched.map(_.rows).sum <= 100000L
+    val singleTask = touched.map(_.rows).sum <= LakeTable.SingleTaskRows
     val df = table.scanResolved(spark, stored, touched, singlePartition = singleTask)
       .filter(!col(LakeTable.TOMBSTONE) || col("lsn") > tombstoneWatermark)
       .withColumn("_bucket",
         pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int"))
 
     val placed =
-      if (singleTask) df.coalesce(1)
+      if (singleTask) df
       else df.repartition(nTouchedBuckets, col("_bucket"))
     placed
       .sortWithinPartitions(col("_bucket"), col("doc_id"))
@@ -155,7 +155,7 @@ object Maintenance {
       // table fits it: a small table's rewrite is otherwise fanned over
       // one task per input file, each paying parquet-writer setup for up
       // to k output files
-      val singleTask = files.map(_.rows).sum <= 100000L
+      val singleTask = files.map(_.rows).sum <= LakeTable.SingleTaskRows
       table.scanResolved(spark, stored, files, singlePartition = singleTask)
         .withColumn("_bucket",
           pmod(xxhash64(col("doc_id")), lit(newNumBuckets.toLong)).cast("int"))
